@@ -1,0 +1,155 @@
+"""Optical-flow estimation tests (reference tests/test_flow.py:198-360
+translated to the TPU-native model zoo): synthetic-blob shift recovery,
+model registry behaviour, Flow object construction, smoothing fixed points."""
+
+import numpy as np
+import pytest
+
+from tobac_flow_tpu import models
+from tobac_flow_tpu.core import flow as flow_mod
+from tobac_flow_tpu.utils import to_8bit
+
+
+def make_blob(w=32, h=24):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    cx, cy = (w - 1) / 2, (h - 1) / 2
+    blob = (cx**2 - (xx - cx) ** 2) * (cy**2 - (yy - cy) ** 2)
+    return to_8bit(blob).astype(np.float32)
+
+
+def blob_mask(blob, frac=0.2):
+    return blob > blob.max() * frac
+
+
+# --- registry ---------------------------------------------------------------
+
+
+def test_select_of_model_farneback():
+    assert callable(models.select_of_model("Farneback"))
+
+
+def test_select_of_model_dis():
+    assert callable(models.select_of_model("DIS"))
+
+
+def test_select_of_model_dense_rlof_not_implemented():
+    with pytest.raises(NotImplementedError):
+        models.select_of_model("DenseRLOF")
+
+
+def test_select_of_model_invalid():
+    with pytest.raises(ValueError):
+        models.select_of_model("not_an_of_model")
+
+
+# --- blob shift recovery ----------------------------------------------------
+
+
+@pytest.mark.parametrize("shift", [(1, 0), (0, 1), (-1, -1)])
+def test_calculate_flow_recovers_shift(shift):
+    sx, sy = shift
+    blob = make_blob()
+    stack = np.stack(
+        [np.roll(blob, (-sy, -sx), (0, 1)), blob, np.roll(blob, (sy, sx), (0, 1))]
+    )
+    fwd, bwd = models.batch_flow(stack, model="Farneback")
+    m = blob_mask(blob)
+    # flow in the blob interior must recover the shift to ~0.25 px
+    assert np.allclose(np.median(fwd[0][m][:, 0]), sx, atol=0.25)
+    assert np.allclose(np.median(fwd[0][m][:, 1]), sy, atol=0.25)
+    assert np.allclose(np.median(bwd[1][m][:, 0]), -sx, atol=0.25)
+    assert np.allclose(np.median(bwd[1][m][:, 1]), -sy, atol=0.25)
+
+
+def test_calculate_flow_zero():
+    blob = make_blob()
+    stack = np.stack([blob] * 3)
+    fwd, bwd = models.batch_flow(stack)
+    assert np.allclose(fwd, 0, atol=0.05)
+    assert np.allclose(bwd, 0, atol=0.05)
+
+
+def test_calculate_flow_boundary_negation():
+    blob = make_blob()
+    stack = np.stack([np.roll(blob, (-1, -1), (0, 1)), blob, np.roll(blob, (1, 1), (0, 1))])
+    fwd, bwd = models.batch_flow(stack)
+    assert np.allclose(fwd[-1], -bwd[-1])
+    assert np.allclose(bwd[0], -fwd[0])
+
+
+def test_calculate_flow_vr_steps():
+    blob = make_blob()
+    stack = np.stack([np.roll(blob, (-1, -1), (0, 1)), blob, np.roll(blob, (1, 1), (0, 1))])
+    fwd, _ = models.batch_flow(stack, vr_steps=1)
+    m = blob_mask(blob)
+    assert np.allclose(np.median(fwd[0][m][:, 0]), 1, atol=0.3)
+
+
+def test_calculate_flow_smoothing_passes():
+    blob = make_blob()
+    stack = np.stack([np.roll(blob, (-1, -1), (0, 1)), blob, np.roll(blob, (1, 1), (0, 1))])
+    fwd, _ = models.batch_flow(stack, smoothing_passes=1)
+    m = blob_mask(blob)
+    assert np.allclose(np.median(fwd[0][m][:, 0]), 1, atol=0.3)
+
+
+# --- create_flow / Flow object ---------------------------------------------
+
+
+def test_create_flow_clips_and_wraps():
+    blob = make_blob()
+    stack = np.stack([blob] * 3)
+    f = flow_mod.create_flow(stack, max_value=0.01)
+    assert isinstance(f, flow_mod.Flow)
+    assert np.all(np.abs(f.forward_flow) <= 0.01)
+    assert f.shape == stack.shape
+
+
+def test_flow_init():
+    zeros = np.zeros([3, 5, 2])
+    f = flow_mod.Flow(zeros, zeros)
+    assert f.shape == (3, 5)
+
+
+def test_flow_init_shape_mismatch():
+    with pytest.raises(ValueError):
+        flow_mod.Flow(np.zeros([3, 5, 2]), np.zeros([2, 4, 2]))
+
+
+def test_flow_init_trailing_dim():
+    zeros = np.zeros([3, 5, 1])
+    with pytest.raises(ValueError):
+        flow_mod.Flow(zeros, zeros)
+
+
+def test_flow_property_and_getitem():
+    zeros = np.zeros([3, 5, 2])
+    f = flow_mod.Flow(zeros, zeros)
+    ff, bf = f.flow
+    assert np.all(ff == f.forward_flow)
+    assert f[:2, :4].shape == (2, 4)
+
+
+# --- smoothing --------------------------------------------------------------
+
+
+def test_smooth_flow_step_zero():
+    zero = np.zeros([3, 5, 2], dtype=np.float32)
+    out = flow_mod.smooth_flow_step(zero, zero)
+    assert np.all(np.asarray(out[0]) == 0)
+    assert np.all(np.asarray(out[1]) == 0)
+
+
+def test_smooth_flow_step_consistent_one():
+    one = np.ones([6, 8, 2], dtype=np.float32)
+    f, b = flow_mod.smooth_flow_step(one, -one)
+    assert np.allclose(np.asarray(f), 1)
+    assert np.allclose(np.asarray(b), -1)
+
+
+def test_smooth_flow_one_zero():
+    zero = np.zeros([6, 8, 2], dtype=np.float32)
+    one = np.ones([6, 8, 2], dtype=np.float32)
+    f, b = flow_mod.smooth_flow_step(one, zero)
+    assert np.allclose(np.asarray(f)[:5, :7], 0.5)
+    assert np.allclose(np.asarray(b)[:5, :7], -0.5)

@@ -1,0 +1,266 @@
+"""The Flow object: container of forward/backward optical-flow fields that
+exposes every semi-Lagrangian operation of the pipeline.
+
+API parity: reference ``tobac_flow/flow.py`` (``create_flow`` lines 23-65,
+``Flow`` lines 68-355, ``calculate_flow`` lines 362-428, ``smooth_flow_step``
+lines 530-568, ``combine_flow`` lines 571-603).  The flow estimation itself is
+a TPU-native pyramidal model (``tobac_flow_tpu.models``), not OpenCV.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tobac_flow_tpu.core.abstracts import AbstractFlow
+from tobac_flow_tpu.ops.convolve import DEFAULT_STRUCTURE, convolve
+from tobac_flow_tpu.ops.sobel import sobel
+
+__all__ = [
+    "Flow",
+    "create_flow",
+    "calculate_flow",
+    "smooth_flow_step",
+    "combine_flow",
+    "flow_magnitude",
+]
+
+
+def create_flow(
+    data,
+    model: str = "Farneback",
+    vr_steps: int = 0,
+    smoothing_passes: int = 0,
+    interp_method: str = "linear",
+    max_value: float = 20,
+) -> "Flow":
+    """Estimate forward+backward optical flow for a (t, y, x) sequence and
+    wrap it in a Flow object; vectors are clipped to ±max_value px
+    (reference ``flow.py:23-65``)."""
+    forward_flow, backward_flow = calculate_flow(
+        data,
+        model=model,
+        vr_steps=vr_steps,
+        smoothing_passes=smoothing_passes,
+        interp_method=interp_method,
+    )
+    forward_flow = np.clip(forward_flow, -max_value, max_value)
+    backward_flow = np.clip(backward_flow, -max_value, max_value)
+    return Flow(forward_flow, backward_flow)
+
+
+def calculate_flow(
+    data,
+    model: str = "Farneback",
+    vr_steps: int = 0,
+    smoothing_passes: int = 0,
+    interp_method: str = "linear",
+    normalisation_method: str = "linear",
+    **normalisation_kwargs,
+):
+    """Forward/backward dense flow for every frame pair of a (t, y, x) stack.
+
+    Frame pairs are jointly normalised then quantised to 256 levels (parity
+    with the reference's uint8 path, ``flow.py:411-414``); boundary frames
+    inherit the negated opposite flow (``flow.py:425-426``).  All frame pairs
+    are estimated in one batched, jitted TPU program.
+    """
+    from tobac_flow_tpu.models import batch_flow
+
+    data = np.asarray(getattr(data, "values", data), dtype=np.float32)
+    return batch_flow(
+        data,
+        model=model,
+        vr_steps=vr_steps,
+        smoothing_passes=smoothing_passes,
+        interp_method=interp_method,
+        normalisation_method=normalisation_method,
+        **normalisation_kwargs,
+    )
+
+
+class Flow(AbstractFlow):
+    """Semi-Lagrangian operations driven by dense optical flow fields."""
+
+    def __init__(self, forward_flow, backward_flow) -> None:
+        if forward_flow.shape != backward_flow.shape:
+            raise ValueError(
+                "Forward and backward flow vector arrays must have the same shape"
+            )
+        if forward_flow.shape[-1] != 2:
+            raise ValueError(
+                "Flow vectors must have a size of 2 in the trailing dimension"
+            )
+        self.shape = forward_flow.shape[:-1]
+        self.forward_flow = forward_flow
+        self.backward_flow = backward_flow
+
+    @property
+    def flow(self):
+        return self.forward_flow, self.backward_flow
+
+    def __getitem__(self, items) -> "Flow":
+        return Flow(self.forward_flow[items], self.backward_flow[items])
+
+    def convolve(
+        self,
+        data,
+        structure=DEFAULT_STRUCTURE,
+        method="linear",
+        fill_value=np.nan,
+        dtype=np.float32,
+        func=None,
+    ):
+        """Flow-warped convolution of data (reference ``flow.py:105-157``)."""
+        assert (
+            data.shape == self.shape
+        ), "Data input must have the same shape as the Flow object"
+        return convolve(
+            data,
+            self.forward_flow,
+            self.backward_flow,
+            structure=structure,
+            method=method,
+            dtype=dtype,
+            fill_value=fill_value,
+            func=func,
+        )
+
+    def diff(self, data, method="linear", dtype=np.float32):
+        """Semi-Lagrangian central difference along t: NaN-aware mean of the
+        forward and backward one-sided differences (``flow.py:159-191``)."""
+        diff_struct = np.zeros((3, 3, 3))
+        diff_struct[:, 1, 1] = 1
+        return self.convolve(
+            data, structure=diff_struct, func=_diff_func, method=method, dtype=dtype
+        )
+
+    def sobel(
+        self, data, method="linear", dtype=None, fill_value=np.nan, direction=None
+    ):
+        """Semi-Lagrangian Sobel edge magnitude (``flow.py:193-234``)."""
+        return sobel(
+            data,
+            self.forward_flow,
+            self.backward_flow,
+            method=method,
+            dtype=dtype,
+            fill_value=fill_value,
+            direction=direction,
+        )
+
+    def watershed(self, field, markers, mask=None, connectivity=1):
+        """Flow-aware watershed segmentation (``flow.py:236-278``)."""
+        from tobac_flow_tpu.ops.watershed import watershed
+
+        return watershed(
+            self.forward_flow,
+            self.backward_flow,
+            field,
+            markers,
+            mask=mask,
+            connectivity=connectivity,
+        )
+
+    def label(
+        self,
+        data,
+        structure=DEFAULT_STRUCTURE,
+        dtype=np.int32,
+        overlap=0,
+        absolute_overlap=1,
+        subsegment_shrink=0,
+        peak_min_distance=5,
+    ):
+        """Label 3d connected objects in the moving frame (``flow.py:280-333``)."""
+        from tobac_flow_tpu.segment.label import flow_label
+
+        return flow_label(
+            self,
+            data,
+            structure=structure,
+            dtype=dtype,
+            overlap=overlap,
+            absolute_overlap=absolute_overlap,
+            subsegment_shrink=subsegment_shrink,
+            peak_min_distance=peak_min_distance,
+        )
+
+    def link_overlap(
+        self,
+        data,
+        structure=DEFAULT_STRUCTURE,
+        dtype=np.int32,
+        overlap=0,
+        absolute_overlap=1,
+    ):
+        """Link existing labels into contiguous objects (``flow.py:335-355``)."""
+        from tobac_flow_tpu.segment.label import flow_link_overlap
+
+        return flow_link_overlap(
+            self,
+            data,
+            structure=structure,
+            dtype=dtype,
+            overlap=overlap,
+            absolute_overlap=absolute_overlap,
+        )
+
+
+def _diff_func(x):
+    """NaN-aware mean of forward/backward one-sided temporal differences
+    (reference ``flow.py:182-186``): nansum([x2-x1, x1-x0]) / max(#finite, 1)."""
+    fwd = x[2] - x[1]
+    bwd = x[1] - x[0]
+    total = jnp.where(jnp.isnan(fwd), 0.0, fwd) + jnp.where(jnp.isnan(bwd), 0.0, bwd)
+    count = jnp.isfinite(x[2]).astype(jnp.float32) + jnp.isfinite(x[0]).astype(
+        jnp.float32
+    )
+    return total / jnp.maximum(count, 1.0)
+
+
+def smooth_flow_step(forward_flow, backward_flow, method="linear"):
+    """One smoothing pass: average each flow field with the negated,
+    correspondingly-warped opposite field (reference ``flow.py:530-568``)."""
+    from tobac_flow_tpu.ops.warp import warp_flow
+
+    def _smooth(primary, opposite):
+        warped = jnp.stack(
+            [
+                -warp_flow(opposite[..., 0], primary, method=method),
+                -warp_flow(opposite[..., 1], primary, method=method),
+            ],
+            axis=-1,
+        )
+        stacked = jnp.stack([jnp.asarray(primary, dtype=jnp.float32), warped], axis=0)
+        cnt = jnp.sum(jnp.isfinite(stacked), axis=0)
+        tot = jnp.nansum(stacked, axis=0)
+        return jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1), jnp.nan)
+
+    return _smooth(forward_flow, backward_flow), _smooth(backward_flow, forward_flow)
+
+
+def combine_flow(*flows) -> Flow:
+    """Magnitude-weighted merge of several Flow objects (``flow.py:571-603``)."""
+
+    def _merge(fields):
+        mags = [
+            np.sqrt(f[..., 0] ** 2 + f[..., 1] ** 2)[..., np.newaxis] for f in fields
+        ]
+        return sum(f * m for f, m in zip(fields, mags)) / sum(mags)
+
+    return Flow(
+        _merge([f.forward_flow for f in flows]),
+        _merge([f.backward_flow for f in flows]),
+    )
+
+
+def flow_magnitude(flow, direction="forward"):
+    """Per-pixel magnitude of the forward or backward flow (``flow.py:632-643``)."""
+    if direction == "forward":
+        f = flow.forward_flow
+    elif direction == "backward":
+        f = flow.backward_flow
+    else:
+        raise ValueError("Direction must be one of 'forward', 'backward'")
+    return np.sqrt(f[..., 0] ** 2 + f[..., 1] ** 2)

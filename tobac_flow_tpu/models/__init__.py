@@ -1,0 +1,196 @@
+"""Optical-flow model registry and the batched flow driver.
+
+Mirrors the reference model registry (``tobac_flow/utils/flow_utils.py:37-77``,
+8 selectable dense-flow models).  Implemented TPU-native models: Farneback
+(pipeline default) and DIS-style inverse-search (planned).  Unimplemented
+models raise, with DenseRLOF raising NotImplementedError exactly as the
+reference does.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tobac_flow_tpu.models.farneback import FarnebackParams, farneback_pair
+from tobac_flow_tpu.models.variational import variational_refine
+
+__all__ = [
+    "select_of_model",
+    "batch_flow",
+    "FLOW_MODELS",
+    "farneback_pair",
+    "variational_refine",
+]
+
+# model name -> (pair_fn(prev, nxt) -> flow) factory; None means recognised but
+# not yet implemented on TPU.
+_FARNEBACK = FarnebackParams()
+_FAST_FARNEBACK = FarnebackParams(num_levels=5, winsize=9, num_iters=5)
+
+FLOW_MODELS = {
+    "Farneback": lambda: functools.partial(farneback_pair, params=_FARNEBACK),
+    # DIS in the reference is a fast inverse-search model used as the test
+    # default; until the dedicated Pallas inverse-search lands, a reduced
+    # Farneback configuration provides the fast path with the same contract.
+    "DIS": lambda: functools.partial(farneback_pair, params=_FAST_FARNEBACK),
+    "DeepFlow": None,
+    "PCA": None,
+    "SimpleFlow": None,
+    "SparseToDense": None,
+    "DenseRLOF": "not_implemented",
+    "DualTVL1": None,
+}
+
+
+def select_of_model(model: str):
+    """Return the pair-flow callable for a named model (registry parity with
+    ``utils/flow_utils.py:37-77``)."""
+    if model not in FLOW_MODELS:
+        raise ValueError(
+            "'model' parameter must be one of: "
+            + ", ".join(repr(k) for k in FLOW_MODELS)
+        )
+    entry = FLOW_MODELS[model]
+    if entry == "not_implemented":
+        raise NotImplementedError(
+            "DenseRLOF requires multi-channel input which is currently not implemented"
+        )
+    if entry is None:
+        raise NotImplementedError(
+            f"{model} is not yet implemented in the TPU-native model zoo; "
+            "use 'Farneback' or 'DIS'"
+        )
+    return entry()
+
+
+def _normalise_pair(prev, nxt, method: str):
+    """Jointly normalise a frame pair to the 0..255 working range with the
+    reference's NaN semantics (``to_8bit``, normalisation_utils.py:10-33):
+    NaN holes first inherit the other frame's values, remaining non-finite
+    values become 127, and values are quantised to integer levels."""
+    stack = jnp.stack([prev, nxt], axis=0)
+    if method == "linear":
+        vmin = jnp.nanmin(stack)
+        vmax = jnp.nanmax(stack)
+        norm = jnp.clip(
+            (stack - vmin) * jnp.where(vmax > vmin, 1.0 / (vmax - vmin), 0.0),
+            0.0,
+            1.0,
+        )
+    elif method == "z_score":
+        mean = jnp.nanmean(stack)
+        std = jnp.nanstd(stack)
+        norm = jnp.clip(((stack - mean) / std + 3.0) / 6.0, 0.0, 1.0)
+    elif method == "log":
+        vmin = jnp.nanmin(stack)
+        shifted = jnp.log(stack - vmin + 1.0)
+        smax = jnp.nanmax(shifted)
+        norm = jnp.clip(shifted * jnp.where(smax > 0, 1.0 / smax, 0.0), 0.0, 1.0)
+    elif method == "inverse_log":
+        vmax = jnp.nanmax(stack)
+        shifted = jnp.log(vmax - stack + 1.0)
+        smax = jnp.nanmax(shifted)
+        norm = jnp.clip(shifted * jnp.where(smax > 0, 1.0 / smax, 0.0), 0.0, 1.0)
+    else:
+        raise NotImplementedError(
+            f"normalisation method {method!r} is not available in the jitted "
+            "flow path; use one of linear/z_score/log/inverse_log"
+        )
+    scaled = norm * 255.0
+    finite = jnp.isfinite(scaled)
+    filled = jnp.where(finite, scaled, 127.0)
+    a = jnp.where(finite[0], filled[0], jnp.where(finite[1], filled[1], 127.0))
+    b = jnp.where(finite[1], filled[1], jnp.where(finite[0], filled[0], 127.0))
+    return jnp.round(a), jnp.round(b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "vr_steps",
+        "smoothing_passes",
+        "interp_method",
+        "normalisation_method",
+    ),
+)
+def _chunk_flow(
+    prev, nxt, model, vr_steps, smoothing_passes, interp_method, normalisation_method
+):
+    """Forward and backward flow for a chunk of frame pairs (C, H, W)."""
+    pair_fn = select_of_model(model)
+
+    def one(p, n):
+        p8, n8 = _normalise_pair(p, n, normalisation_method)
+        fwd = pair_fn(p8, n8)
+        bwd = pair_fn(n8, p8)
+        if vr_steps > 0:
+            fwd = variational_refine(p8, n8, fwd, steps=vr_steps)
+            bwd = variational_refine(n8, p8, bwd, steps=vr_steps)
+        if smoothing_passes > 0:
+            from tobac_flow_tpu.core.flow import smooth_flow_step
+
+            for _ in range(smoothing_passes):
+                fwd, bwd = smooth_flow_step(fwd, bwd, method=interp_method)
+        return fwd, bwd
+
+    return jax.vmap(one)(prev, nxt)
+
+
+def batch_flow(
+    data,
+    model: str = "Farneback",
+    vr_steps: int = 0,
+    smoothing_passes: int = 0,
+    interp_method: str = "linear",
+    normalisation_method: str = "linear",
+    chunk: int = 8,
+    **normalisation_kwargs,
+):
+    """Forward/backward flow for every adjacent frame pair of (T, H, W) data.
+
+    Pairs are processed in fixed-size device chunks (one compiled program,
+    re-used across chunks); boundary frames get the negated opposite flow
+    (reference ``flow.py:425-426``).
+    """
+    if normalisation_kwargs:
+        raise NotImplementedError(
+            "extra normalisation kwargs are not supported in the jitted path"
+        )
+    data = np.asarray(data, dtype=np.float32)
+    t = data.shape[0]
+    if t < 2:
+        raise ValueError("Need at least two frames to compute flow")
+    n_pairs = t - 1
+    fwd = np.full(data.shape + (2,), np.nan, dtype=np.float32)
+    bwd = np.full(data.shape + (2,), np.nan, dtype=np.float32)
+
+    chunk = min(chunk, n_pairs)
+    for start in range(0, n_pairs, chunk):
+        stop = min(start + chunk, n_pairs)
+        c = stop - start
+        prev = data[start:stop]
+        nxt = data[start + 1 : stop + 1]
+        if c < chunk:  # pad to the compiled chunk shape
+            pad = chunk - c
+            prev = np.concatenate([prev, np.repeat(prev[-1:], pad, axis=0)])
+            nxt = np.concatenate([nxt, np.repeat(nxt[-1:], pad, axis=0)])
+        f, b = _chunk_flow(
+            jnp.asarray(prev),
+            jnp.asarray(nxt),
+            model,
+            int(vr_steps),
+            int(smoothing_passes),
+            interp_method,
+            normalisation_method,
+        )
+        fwd[start:stop] = np.asarray(f)[:c]
+        bwd[start + 1 : stop + 1] = np.asarray(b)[:c]
+
+    fwd[-1] = -bwd[-1]
+    bwd[0] = -fwd[0]
+    return fwd, bwd

@@ -1,0 +1,259 @@
+"""TPU-native pyramidal Farneback dense optical flow.
+
+A from-scratch JAX implementation of the Farneback (2003) polynomial-expansion
+method, the model the reference pipeline selects by default
+(``tobac_flow/utils/flow_utils.py:52-53``, ``scripts/dcc_detect_goes.py:165``
+— there via OpenCV's C++ ``createOptFlow_Farneback``).
+
+Algorithm
+---------
+1. **Polynomial expansion**: each pixel neighbourhood is fit with
+   ``f(u) ≈ c + bᵀu + uᵀAu`` under a Gaussian applicability, computed as six
+   separable correlations followed by a constant ``G⁻¹`` solve.
+2. **Displacement estimation**: with prior displacement d̃,
+   ``A = (A₁(p) + A₂(p+d̃))/2``, ``Δb = −(b₂(p+d̃) − b₁(p))/2 + A d̃`` and the
+   window-aggregated least-squares solution
+   ``d = (Σw AᵀA)⁻¹ (Σw AᵀΔb)`` (box window of size ``winsize``).
+3. **Pyramid**: levels are built by Gaussian smoothing + bilinear resize of
+   the full-resolution frames; flow is upsampled ×(1/pyr_scale) between
+   levels.
+
+Defaults mirror cv2's FarnebackOpticalFlow: numLevels=5, pyrScale=0.5,
+winSize=13, numIters=10, polyN=5, polySigma=1.1, box aggregation.
+
+Everything is static-shape, branch-free and fuses under one ``jit``; frame
+pairs are vmapped so both directions of every pair in a time window compile
+into a single XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["farneback_pair", "FarnebackParams"]
+
+
+class FarnebackParams:
+    """Static hyper-parameters for the Farneback model."""
+
+    def __init__(
+        self,
+        num_levels: int = 5,
+        pyr_scale: float = 0.5,
+        winsize: int = 13,
+        num_iters: int = 10,
+        poly_n: int = 5,
+        poly_sigma: float = 1.1,
+    ):
+        self.num_levels = num_levels
+        self.pyr_scale = pyr_scale
+        self.winsize = winsize
+        self.num_iters = num_iters
+        self.poly_n = poly_n
+        self.poly_sigma = poly_sigma
+
+    def _key(self):
+        return (
+            self.num_levels,
+            self.pyr_scale,
+            self.winsize,
+            self.num_iters,
+            self.poly_n,
+            self.poly_sigma,
+        )
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, FarnebackParams) and self._key() == other._key()
+
+
+def _sepconv(img, kernel, axis):
+    """Correlate a (..., H, W) array along `axis` (-1 or -2) with a 1D kernel,
+    edge-replicated borders. Implemented as shifted adds (XLA fuses these)."""
+    k = len(kernel)
+    r = k // 2
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (r, r)
+    padded = jnp.pad(img, pad, mode="edge")
+    out = None
+    for i in range(k):
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(i, i + img.shape[axis])
+        term = float(kernel[i]) * padded[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _poly_kernels(poly_n: int, poly_sigma: float):
+    """1D applicability kernels and the constant inverse-G solve matrix."""
+    n = poly_n
+    u = np.arange(-n, n + 1, dtype=np.float64)
+    a = np.exp(-(u**2) / (2.0 * poly_sigma**2))
+    a /= a.sum()
+    # 2D basis moments: G[i, j] = Σ a(x)a(y) B_i B_j, B = (1, x, y, x², y², xy)
+    ax, ay = np.meshgrid(u, u)  # x varies along cols, y along rows
+    w2 = np.outer(a, a)
+    B = np.stack(
+        [np.ones_like(ax), ax, ay, ax**2, ay**2, ax * ay], axis=0
+    ).reshape(6, -1)
+    G = (B * w2.reshape(1, -1)) @ B.T
+    invG = np.linalg.inv(G)
+    return (
+        tuple(a.tolist()),
+        tuple((u * a).tolist()),
+        tuple((u**2 * a).tolist()),
+        invG,
+    )
+
+
+def poly_exp(img, poly_n=5, poly_sigma=1.1):
+    """Quadratic polynomial expansion of a (H, W) frame.
+
+    Returns (b, A): b is (H, W, 2) the linear coefficients (x, y);
+    A is (H, W, 3) the quadratic coefficients (axx, ayy, axy).
+    """
+    g, xg, xxg = map(lambda t: np.asarray(t), _poly_kernels(poly_n, poly_sigma)[:3])
+    invG = _poly_kernels(poly_n, poly_sigma)[3]
+
+    gy = _sepconv(img, g, -2)
+    yg_ = _sepconv(img, xg, -2)
+    yyg_ = _sepconv(img, xxg, -2)
+
+    s00 = _sepconv(gy, g, -1)
+    s10 = _sepconv(gy, xg, -1)
+    s01 = _sepconv(yg_, g, -1)
+    s20 = _sepconv(gy, xxg, -1)
+    s02 = _sepconv(yyg_, g, -1)
+    s11 = _sepconv(yg_, xg, -1)
+
+    s = jnp.stack([s00, s10, s01, s20, s02, s11], axis=-1)
+    r = s @ jnp.asarray(invG.T, dtype=s.dtype)
+    b = r[..., 1:3]
+    A = r[..., 3:6]
+    return b, A
+
+
+def _bilinear_sample_clamped(field, px, py):
+    """Sample (H, W, C) field at float coords with replicate borders."""
+    h, w, c = field.shape
+    px = jnp.clip(px, 0.0, w - 1.0)
+    py = jnp.clip(py, 0.0, h - 1.0)
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (px - x0)[..., None]
+    fy = (py - y0)[..., None]
+    flat = field.reshape(-1, c)
+
+    def take(yy, xx):
+        return jnp.take(flat, (yy * w + xx).reshape(-1), axis=0).reshape(
+            px.shape + (c,)
+        )
+
+    v00 = take(y0, x0)
+    v01 = take(y0, x1)
+    v10 = take(y1, x0)
+    v11 = take(y1, x1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _box_blur(img, winsize):
+    """Separable box filter with edge replication (cv2 box aggregation)."""
+    k = np.ones(winsize) / winsize
+    return _sepconv(_sepconv(img, k, -2), k, -1)
+
+
+def _update_flow(b1, A1, R2, flow, winsize, num_iters):
+    """Iterative displacement refinement at one pyramid level."""
+    h, w = b1.shape[:2]
+    gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+
+    def body(_, flow):
+        samp = _bilinear_sample_clamped(R2, gx + flow[..., 0], gy + flow[..., 1])
+        b2w = samp[..., 0:2]
+        A2w = samp[..., 2:5]
+        axx = 0.5 * (A1[..., 0] + A2w[..., 0])
+        ayy = 0.5 * (A1[..., 1] + A2w[..., 1])
+        axy = 0.25 * (A1[..., 2] + A2w[..., 2])  # off-diagonal of A
+        dbx = -0.5 * (b2w[..., 0] - b1[..., 0])
+        dby = -0.5 * (b2w[..., 1] - b1[..., 1])
+        dbx = dbx + axx * flow[..., 0] + axy * flow[..., 1]
+        dby = dby + axy * flow[..., 0] + ayy * flow[..., 1]
+        # normal equations G d = h, aggregated over the window
+        g11 = _box_blur(axx * axx + axy * axy, winsize)
+        g12 = _box_blur(axx * axy + axy * ayy, winsize)
+        g22 = _box_blur(axy * axy + ayy * ayy, winsize)
+        h1 = _box_blur(axx * dbx + axy * dby, winsize)
+        h2 = _box_blur(axy * dbx + ayy * dby, winsize)
+        det = g11 * g22 - g12 * g12
+        safe = jnp.abs(det) > 1e-9
+        inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
+        dx = (g22 * h1 - g12 * h2) * inv_det
+        dy = (g11 * h2 - g12 * h1) * inv_det
+        new = jnp.stack([dx, dy], axis=-1)
+        return jnp.where(safe[..., None], new, flow)
+
+    return jax.lax.fori_loop(0, num_iters, body, flow)
+
+
+def _gauss_blur(img, sigma):
+    if sigma <= 0:
+        return img
+    r = max(1, int(math.ceil(sigma * 3.0)))
+    u = np.arange(-r, r + 1)
+    k = np.exp(-(u**2) / (2 * sigma**2))
+    k /= k.sum()
+    return _sepconv(_sepconv(img, k, -2), k, -1)
+
+
+def farneback_pair(prev, nxt, params: FarnebackParams = None):
+    """Dense flow from `prev` to `nxt` ((H, W) float32 in [0, 255]).
+
+    Returns (H, W, 2) flow, channel 0 = x displacement, 1 = y.
+    """
+    if params is None:
+        params = FarnebackParams()
+    h, w = prev.shape
+    # limit pyramid so the coarsest level still fits the expansion window
+    min_size = 2 * params.poly_n + 3
+    levels = 0
+    for k in range(params.num_levels):
+        s = params.pyr_scale**k
+        if min(h, w) * s < min_size:
+            break
+        levels = k
+    prev = prev.astype(jnp.float32)
+    nxt = nxt.astype(jnp.float32)
+
+    flow = None
+    for k in range(levels, -1, -1):
+        scale = params.pyr_scale**k
+        hk = max(int(round(h * scale)), 1)
+        wk = max(int(round(w * scale)), 1)
+        sigma = (1.0 / scale - 1.0) * 0.5
+        i1 = jax.image.resize(_gauss_blur(prev, sigma), (hk, wk), method="linear")
+        i2 = jax.image.resize(_gauss_blur(nxt, sigma), (hk, wk), method="linear")
+        b1, A1 = poly_exp(i1, params.poly_n, params.poly_sigma)
+        b2, A2 = poly_exp(i2, params.poly_n, params.poly_sigma)
+        R2 = jnp.concatenate([b2, A2], axis=-1)
+        if flow is None:
+            flow = jnp.zeros((hk, wk, 2), dtype=jnp.float32)
+        else:
+            flow = (
+                jax.image.resize(flow, (hk, wk, 2), method="linear")
+                / params.pyr_scale
+            )
+        flow = _update_flow(b1, A1, R2, flow, params.winsize, params.num_iters)
+    return flow

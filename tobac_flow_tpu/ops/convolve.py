@@ -1,0 +1,173 @@
+"""Semi-Lagrangian flow-warped convolution over a (T, H, W) sequence.
+
+TPU-native rebuild of the reference hot loop ``tobac_flow/convolve.py:147-348``:
+for every timestep, gather up to 27 neighbours defined by a (3,3,3)
+structuring element, where the t-1 plane samples the previous frame warped by
+the *backward* flow, the t+1 plane samples the next frame warped by the
+*forward* flow, and the t plane uses integer shifts of the current frame.
+Out-of-frame samples become ``fill_value``; boundary frames (t=0 prev,
+t=T-1 next) are entirely fill.
+
+Unlike the reference, the whole time axis is processed in one traced XLA
+program (``vmap`` over T), so there is no per-frame Python loop and the
+reduction ``func`` fuses with the gathers.  Tap ordering matches the reference
+exactly — backward-plane taps first (row-major over ``structure[0]``), then
+same-plane, then forward-plane (``convolve.py:205-243``) — so centre-indexed
+reductions like the Sobel kernels (``sobel.py:32-86`` indexing x[13]) carry
+over unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tobac_flow_tpu.ops.warp import shift_plane, warp_plane
+
+__all__ = ["convolve", "structure_taps", "DEFAULT_STRUCTURE"]
+
+
+def _binary_structure_1():
+    s = np.zeros((3, 3, 3), dtype=bool)
+    s[1, 1, :] = True
+    s[1, :, 1] = True
+    s[:, 1, 1] = True
+    return s
+
+
+DEFAULT_STRUCTURE = _binary_structure_1()
+
+
+def structure_taps(structure):
+    """Decompose a (3,3,3) structuring element into per-plane (ox, oy) taps.
+
+    Tap order within each plane is row-major over ``np.where`` (reference
+    ``convolve.py:212``), with offsets measured from the plane centre.
+    Returns (backward_taps, same_taps, forward_taps) as tuples of (ox, oy).
+    """
+    structure = np.asarray(structure)
+    if structure.shape != (3, 3, 3):
+        raise ValueError("Structure input must be a 3x3x3 array")
+    planes = []
+    for k in range(3):
+        rows, cols = np.nonzero(structure[k])
+        planes.append(tuple((int(c) - 1, int(r) - 1) for r, c in zip(rows, cols)))
+    return tuple(planes)
+
+
+def _convolve_impl(
+    data, forward_flow, backward_flow, taps, method, fill_value, func, out_fill
+):
+    back_taps, same_taps, fwd_taps = taps
+    t, h, w = data.shape
+    fill_frame = jnp.full((1, h, w), fill_value, dtype=data.dtype)
+    prev = jnp.concatenate([fill_frame, data[:-1]], axis=0)
+    nxt = jnp.concatenate([data[1:], fill_frame], axis=0)
+
+    parts = []
+    if back_taps:
+        parts.append(
+            jax.vmap(
+                lambda im, fl: warp_plane(
+                    im, fl, back_taps, method=method, fill_value=fill_value
+                ),
+                in_axes=(0, 0),
+                out_axes=1,
+            )(prev, backward_flow)
+        )
+    if same_taps:
+        parts.append(
+            jax.vmap(
+                lambda im: shift_plane(im, same_taps, fill_value=fill_value),
+                in_axes=0,
+                out_axes=1,
+            )(data)
+        )
+    if fwd_taps:
+        parts.append(
+            jax.vmap(
+                lambda im, fl: warp_plane(
+                    im, fl, fwd_taps, method=method, fill_value=fill_value
+                ),
+                in_axes=(0, 0),
+                out_axes=1,
+            )(nxt, forward_flow)
+        )
+    stacked = jnp.concatenate(parts, axis=0)  # (n_struct, T, H, W)
+
+    if func is None:
+        return stacked
+    res = func(stacked)
+    # NaN inputs force fill in the reduced output (reference convolve.py:347)
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        res = jnp.where(jnp.isnan(data), out_fill, res)
+    return res
+
+
+@functools.partial(
+    jax.jit, static_argnames=("taps", "method", "func", "out_dtype")
+)
+def _convolve_jit(
+    data, forward_flow, backward_flow, taps, method, fill_value, func, out_dtype
+):
+    out = _convolve_impl(
+        data, forward_flow, backward_flow, taps, method, fill_value, func, fill_value
+    )
+    return out.astype(out_dtype)
+
+
+def convolve(
+    data,
+    forward_flow,
+    backward_flow,
+    structure=None,
+    method="linear",
+    dtype=np.float32,
+    fill_value=np.nan,
+    func=None,
+):
+    """Flow-warped convolution (reference API ``convolve.py:248-348``).
+
+    Parameters
+    ----------
+    data : (T, H, W) array.
+    forward_flow, backward_flow : (T, H, W, 2) arrays (channel 0 = x, 1 = y).
+    structure : (3,3,3) boolean/int array; plane 0 acts backwards in time,
+        plane 2 forwards. Defaults to connectivity-1.
+    method : interpolation method for the flow-warped planes.
+    dtype : output dtype.
+    fill_value : value for out-of-frame / boundary samples.
+    func : optional reduction applied over tap axis 0 of the stacked
+        (n_struct, T, H, W) array. Must be a jax-traceable callable; pass a
+        module-level function (not a fresh lambda) to benefit from jit caching.
+
+    Returns
+    -------
+    (n_struct, T, H, W) if func is None, else func's result (typically
+    (T, H, W)) with NaN input locations forced to fill_value.
+    """
+    if structure is None:
+        structure = DEFAULT_STRUCTURE
+    taps = structure_taps(structure)
+
+    data = jnp.asarray(data)
+    out_dtype = jnp.dtype(dtype)
+    if method == "nearest":
+        # nearest-neighbour gathers preserve the working dtype (labels stay int)
+        work = data.astype(out_dtype)
+    else:
+        work = data.astype(jnp.float32)
+
+    return _convolve_jit(
+        work,
+        jnp.asarray(forward_flow),
+        jnp.asarray(backward_flow),
+        taps,
+        method,
+        fill_value,
+        func,
+        out_dtype,
+    )
