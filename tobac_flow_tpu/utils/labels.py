@@ -1,0 +1,252 @@
+"""Host-side label bookkeeping utilities.
+
+Behavioural parity with reference ``tobac_flow/utils/label_utils.py``:
+per-label comprehensions, contiguous renumbering, per-step label slicing and
+overlap queries.  Dense (t,y,x) label rasters stay on device in the pipeline;
+these utilities operate on the (small) per-label summaries or perform the
+data-dependent renumbering steps that need dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+__all__ = [
+    "labeled_comprehension",
+    "apply_func_to_labels",
+    "flat_label",
+    "make_step_labels",
+    "get_step_labels_for_label",
+    "relabel_objects",
+    "remap_labels",
+    "slice_labels",
+    "find_overlapping_labels",
+]
+
+
+def _label_groups(labels):
+    """Sorted positions grouped by label: returns (order, starts) such that
+    positions of label v occupy order[starts[v]:starts[v+1]]."""
+    flat = labels.ravel()
+    order = np.argsort(flat, kind="stable")
+    counts = np.bincount(flat)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    return order, starts
+
+
+def labeled_comprehension(
+    field,
+    labels,
+    func: Callable,
+    index=None,
+    dtype=None,
+    default=None,
+    pass_positions: bool = False,
+):
+    """Apply ``func`` to the values of ``field`` within each labelled region
+    (reference ``label_utils.py:8-55``; scipy.ndimage.labeled_comprehension
+    semantics). ``index=None`` applies it to every non-zero label present."""
+    field = np.asarray(getattr(field, "values", field))
+    labels = np.asarray(getattr(labels, "values", labels))
+    field, labels = np.broadcast_arrays(field, labels)
+    if dtype is None:
+        dtype = field.dtype
+    if index is None:
+        index = np.unique(labels[labels != 0])
+    index = np.atleast_1d(np.asarray(index))
+
+    order, starts = _label_groups(np.maximum(labels, 0))
+    flat_field = field.ravel()
+    n_max = starts.size - 2  # largest label with counts
+    out = []
+    for v in index:
+        v = int(v)
+        if 0 <= v <= n_max and starts[v + 1] > starts[v]:
+            pos = order[starts[v] : starts[v + 1]]
+            if pass_positions:
+                out.append(func(flat_field[pos], pos))
+            else:
+                out.append(func(flat_field[pos]))
+        else:
+            out.append(default)
+    return np.asarray(out, dtype=dtype)
+
+
+def apply_func_to_labels(
+    labels,
+    *fields,
+    func: Callable = np.mean,
+    index=None,
+    default=None,
+):
+    """Multi-field / multi-return per-label comprehension (reference
+    ``label_utils.py:58-140``).  ``index=None`` runs over 1..max(labels)."""
+    broadcast = np.broadcast_arrays(labels, *fields)
+    labels = broadcast[0]
+    fields = broadcast[1:]
+
+    if index is None:
+        min_label = min(int(np.min(labels)), 0)
+        n_bins = int(np.max(labels)) - min_label + 1
+        index = range(1, n_bins)
+    else:
+        min_label = min(int(np.min(index)) - 1, int(np.min(labels)), 0)
+        n_bins = max(int(np.max(index)), int(np.max(labels))) - min_label + 1
+
+    shifted = labels.ravel() - min_label
+    counts = np.bincount(shifted, minlength=n_bins)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    order = np.argsort(shifted, kind="stable")
+    flat_fields = [f.ravel() for f in fields]
+
+    # determine the default tuple arity by probing func on the first
+    # populated label (reference label_utils.py:101-121)
+    default_vals = default
+    try:
+        iter(default)
+        assert not isinstance(default, str)
+    except (TypeError, AssertionError):
+        populated = np.nonzero(counts)[0]
+        if populated.size:
+            i = populated[0]
+            probe = func(
+                *[ff[order[starts[i] : starts[i + 1]]] for ff in flat_fields]
+            )
+            try:
+                assert not isinstance(probe, str)
+                default_vals = [default] * len(probe)
+            except (AssertionError, TypeError):
+                default_vals = default
+    else:
+        if len(default) == 1 and not isinstance(default, str):
+            default_vals = default[0]
+
+    results = []
+    for i in index:
+        b = i - min_label
+        if starts[b + 1] > starts[b]:
+            pos = order[starts[b] : starts[b + 1]]
+            results.append(func(*[ff[pos] for ff in flat_fields]))
+        else:
+            results.append(default_vals)
+    return np.stack(results, -1).squeeze()
+
+
+def flat_label(mask, structure=None, dtype=np.int32):
+    """Per-timestep connected components (device CCL under the hood)."""
+    from tobac_flow_tpu.ops.ccl import flat_label as _device_flat_label
+    from tobac_flow_tpu.ops.convolve import DEFAULT_STRUCTURE
+
+    if structure is None:
+        structure = DEFAULT_STRUCTURE
+    return _device_flat_label(np.asarray(mask) != 0, structure=structure, dtype=dtype)
+
+
+def make_step_labels(labels):
+    """Split a label raster into per-step labels where each (label, step,
+    connected region) gets its own id, numbered in step-label order
+    (reference ``label_utils.py:183-200``)."""
+    labels = np.asarray(getattr(labels, "values", labels))
+    step_labels = flat_label(labels != 0).astype(np.int64)
+    # combine (per-step component, original label) so one component that
+    # covers two original labels splits, and renumber contiguously in
+    # (component, original label) order
+    combined = step_labels * (np.int64(labels.max()) + 1) + labels
+    combined[step_labels == 0] = 0
+    uniq, inverse = np.unique(combined, return_inverse=True)
+    lut = np.arange(uniq.size)
+    if uniq.size and uniq[0] != 0:
+        lut += 1
+    out = lut[inverse].reshape(labels.shape)
+    return out.astype(np.int32)
+
+
+def get_step_labels_for_label(labels, step_labels):
+    """For each label value, the step-label values its pixels carry
+    (reference ``label_utils.py:202-235``)."""
+    labels = np.asarray(labels)
+    step_labels = np.asarray(step_labels)
+    order, starts = _label_groups(labels)
+    flat_steps = step_labels.ravel()
+    return [
+        np.unique(flat_steps[order[starts[i] : starts[i + 1]]])
+        if starts[i + 1] > starts[i]
+        else None
+        for i in range(starts.size - 1)
+    ]
+
+
+def relabel_objects(labels, inplace=False):
+    """Renumber labels to contiguous 1..N preserving order
+    (reference ``label_utils.py:238-262``)."""
+    labels = np.asarray(labels)
+    uniq = np.unique(labels)
+    uniq = uniq[uniq != 0]
+    out = labels if inplace else np.zeros_like(labels)
+    lut = np.zeros(int(labels.max()) + 1 if labels.size else 1, dtype=labels.dtype)
+    lut[uniq] = np.arange(1, uniq.size + 1, dtype=labels.dtype)
+    out[...] = lut[labels]
+    return out
+
+
+def remap_labels(labels, locations=None, new_labels=None):
+    """Keep/renumber the labels flagged in ``locations`` (bool per label, or
+    integer label values) and zero the rest (reference
+    ``label_utils.py:265-309``)."""
+    labels = np.asarray(getattr(labels, "values", labels))
+    max_label = int(np.nanmax(labels)) if labels.size else 0
+    if new_labels is not None:
+        max_label = max(max_label, np.size(new_labels))
+    remapper = np.zeros(max_label + 1, dtype=labels.dtype)
+    if new_labels is None and locations is not None:
+        new_labels = np.arange(1, int(np.sum(locations)) + 1)
+    if locations is not None:
+        locations = np.asarray(locations)
+        if locations.dtype == bool:
+            remapper[1:][locations] = new_labels
+        else:
+            remapper[locations] = new_labels
+    else:
+        remapper[1:] = new_labels
+    return remapper[labels]
+
+
+def slice_labels(labels):
+    """Split labels along the leading dimension keeping each label's pixels
+    at a step as one id even if disconnected (reference
+    ``label_utils.py:312-349``)."""
+    labels = np.asarray(getattr(labels, "values", labels))
+    step_max = np.max(labels, axis=tuple(range(1, labels.ndim))).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(step_max)[:-1]])
+    offsets = offsets.reshape((-1,) + (1,) * (labels.ndim - 1))
+    step_labels = np.where(labels != 0, labels + offsets, 0)
+    present = np.flatnonzero(np.bincount(step_labels.ravel()))
+    lut = np.zeros(int(present[-1]) + 1 if present.size else 1, dtype=np.int64)
+    lut[present] = np.arange(present.size)
+    return lut[step_labels].astype(np.int32)
+
+
+def find_overlapping_labels(
+    labels,
+    locs,
+    bins,
+    overlap: float = 0,
+    absolute_overlap: int = 0,
+):
+    """Labels overlapping the raveled positions ``locs`` subject to absolute
+    (strictly greater) and proportional (>= overlap * min size) thresholds
+    (reference ``label_utils.py:352-376``)."""
+    n_locs = len(locs)
+    if not n_locs:
+        return []
+    values = labels.ravel()[locs]
+    counts = np.bincount(np.maximum(values, 0))
+    return [
+        int(v)
+        for v in np.unique(values)
+        if v != 0
+        and counts[v] > absolute_overlap
+        and counts[v] >= overlap * min(n_locs, bins[v] - bins[v - 1])
+    ]
