@@ -1,0 +1,198 @@
+"""Watershed tests: device iterative minimax flood vs the native C++
+(value, age)-heap oracle, plus contract checks (masking, negative markers,
+NaN barriers, flow displacement)."""
+
+import numpy as np
+import pytest
+
+from tobac_flow_tpu.native import flow_watershed_host
+from tobac_flow_tpu.ops.watershed import watershed
+
+
+def zflow(shape):
+    return np.zeros(shape + (2,), dtype=np.float32)
+
+
+def iou_per_label(a, b):
+    """Mean IoU of matching labels in two label arrays."""
+    ious = []
+    for v in np.unique(a[a != 0]):
+        inter = np.sum((a == v) & (b == v))
+        union = np.sum((a == v) | (b == v))
+        ious.append(inter / union if union else 1.0)
+    return np.mean(ious) if ious else 1.0
+
+
+def test_two_basin_split():
+    # two basins separated by a ridge; markers at the minima
+    t, h, w = 3, 10, 21
+    x = np.arange(w, dtype=np.float32)
+    profile = np.minimum(np.abs(x - 4), np.abs(x - 16))  # minima at 4, 16
+    field = np.broadcast_to(profile, (t, h, w)).copy()
+    markers = np.zeros((t, h, w), np.int32)
+    markers[:, :, 4] = 1
+    markers[:, :, 16] = 2
+    out = watershed(zflow(field.shape), zflow(field.shape), field, markers)
+    assert np.all(out[:, :, :10] == 1)
+    assert np.all(out[:, :, 11:] == 2)
+
+
+def test_mask_blocks_flood():
+    field = np.zeros((2, 8, 8), np.float32)
+    markers = np.zeros((2, 8, 8), np.int32)
+    markers[:, 4, 1] = 1
+    mask = np.ones((2, 8, 8), bool)
+    mask[:, :, 4] = False  # wall
+    out = watershed(zflow(field.shape), zflow(field.shape), field, markers, mask=mask)
+    assert np.all(out[:, :, :4][mask[:, :, :4]] == 1)
+    assert np.all(out[:, :, 4] == 0)
+    assert np.all(out[:, :, 5:] == 0)
+
+
+def test_nan_field_is_barrier_only_if_masked():
+    field = np.zeros((1, 5, 9), np.float32)
+    field[:, :, 4] = np.nan
+    markers = np.zeros((1, 5, 9), np.int32)
+    markers[:, 2, 0] = 1
+    out = watershed(zflow(field.shape), zflow(field.shape), field, markers)
+    # NaN treated as +inf: floodable but only after everything else; with a
+    # single marker the far side is still reached (through the inf wall)
+    assert np.all(out[:, :, :4] == 1)
+    assert np.all(out[:, :, 5:] == 1)
+
+
+def test_negative_markers_compete():
+    field = np.zeros((1, 6, 11), np.float32)
+    markers = np.zeros((1, 6, 11), np.int32)
+    markers[:, :, 1] = 1
+    markers[:, :, 9] = -1
+    out = watershed(zflow(field.shape), zflow(field.shape), field, markers)
+    assert np.any(out == -1)
+    assert np.any(out == 1)
+    assert np.all(out != 0)
+
+
+def test_flow_displacement_carries_labels():
+    # moving basin: the only temporal connection is along the flow
+    t, h, w = 4, 6, 30
+    field = np.ones((t, h, w), np.float32)
+    structure = np.zeros((3, 3, 3), bool)
+    structure[:, 1, 1] = True  # temporal connectivity only
+    # basin column at x = 2 + 4*t, mask restricts flooding to those columns
+    mask = np.zeros((t, h, w), bool)
+    for i in range(t):
+        mask[i, :, 2 + 4 * i] = True
+    markers = np.zeros((t, h, w), np.int32)
+    markers[0, :, 2] = 5
+    fwd = zflow(field.shape)
+    fwd[..., 0] = 4.0
+    bwd = zflow(field.shape)
+    bwd[..., 0] = -4.0
+    out = watershed(fwd, bwd, field, markers, mask=mask, connectivity=structure)
+    for i in range(t):
+        assert np.all(out[i, :, 2 + 4 * i] == 5), f"frame {i} not flooded"
+    # with zero flow, the moving column is never reached after frame 0
+    out0 = watershed(
+        zflow(field.shape), zflow(field.shape), field, markers, mask=mask,
+        connectivity=structure,
+    )
+    assert np.all(out0[1:] == 0)
+
+
+def _minimax_costs(field, markers, marker_ids):
+    """Exact per-marker minimax path costs (host Dijkstra) — the well-defined
+    part of the watershed solution; used to separate genuine cost ties (where
+    the serial heap's age ordering is the only arbiter) from errors."""
+    import heapq
+
+    t, h, w = field.shape
+    fld = field.ravel()
+    out = []
+    for mid in marker_ids:
+        cost = np.full(field.size, np.inf)
+        pq = []
+        for s in np.flatnonzero(markers.ravel() == mid):
+            cost[s] = fld[s]
+            heapq.heappush(pq, (cost[s], s))
+        while pq:
+            c, i = heapq.heappop(pq)
+            if c > cost[i]:
+                continue
+            tt, rem = divmod(i, h * w)
+            yy, xx = divmod(rem, w)
+            for dt, dy, dx in (
+                (-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0), (0, 0, -1), (0, 0, 1),
+            ):
+                t2, y2, x2 = tt + dt, yy + dy, xx + dx
+                if 0 <= t2 < t and 0 <= y2 < h and 0 <= x2 < w:
+                    j = (t2 * h + y2) * w + x2
+                    nc = max(c, fld[j])
+                    if nc < cost[j]:
+                        cost[j] = nc
+                        heapq.heappush(pq, (nc, j))
+        out.append(cost.reshape(field.shape))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_device_matches_native_oracle_distinct_values(seed):
+    # Wherever the minimax assignment is unique, BOTH the data-parallel flood
+    # and the serial heap must give exactly that assignment.  Inside genuine
+    # cost-tie zones the heap's push-age ordering is the only arbiter and the
+    # device hop-count proxy may differ — those zones are excluded here and
+    # covered by the IoU gates on realistic fields below.
+    rng = np.random.default_rng(seed)
+    t, h, w = 4, 16, 16
+    field = rng.permutation(t * h * w).reshape(t, h, w).astype(np.float32)
+    markers = np.zeros((t, h, w), np.int32)
+    for i, (tt, yy, xx) in enumerate(
+        rng.integers(0, [t, h, w], size=(4, 3)), start=1
+    ):
+        markers[tt, yy, xx] = i
+    ours = watershed(zflow(field.shape), zflow(field.shape), field, markers)
+    oracle = flow_watershed_host(
+        zflow(field.shape), zflow(field.shape), field, markers
+    )
+    costs = _minimax_costs(field, markers, range(1, 5))
+    mins = costs.min(axis=0)
+    unique_zone = (costs == mins).sum(axis=0) == 1
+    argmin = np.argmin(costs, axis=0) + 1
+    assert np.array_equal(ours[unique_zone], argmin[unique_zone])
+    assert np.array_equal(oracle[unique_zone], argmin[unique_zone])
+    # and inside tie zones both still produce *some* competing marker label
+    assert (ours == oracle).mean() > 0.8
+
+
+def test_device_matches_native_oracle_with_flow():
+    rng = np.random.default_rng(7)
+    t, h, w = 5, 20, 20
+    field = rng.random((t, h, w)).astype(np.float32)
+    markers = np.zeros((t, h, w), np.int32)
+    markers[2, 5, 5] = 1
+    markers[2, 14, 14] = 2
+    fwd = (rng.random((t, h, w, 2)).astype(np.float32) - 0.5) * 2
+    # make backward flow the consistent adjoint of forward flow
+    bwd = -fwd
+    ours = watershed(fwd, bwd, field, markers)
+    oracle = flow_watershed_host(fwd, bwd, field, markers)
+    both = (oracle != 0) & (ours != 0)
+    assert (ours[both] == oracle[both]).mean() > 0.9
+
+
+def test_smooth_field_oracle_iou():
+    # realistic smooth topography (two blobs) - high agreement required
+    t, h, w = 4, 40, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = -(
+        np.exp(-((xx - 12) ** 2 + (yy - 20) ** 2) / 40.0)
+        + np.exp(-((xx - 28) ** 2 + (yy - 20) ** 2) / 40.0)
+    )
+    field = np.broadcast_to(base, (t, h, w)).astype(np.float32).copy()
+    markers = np.zeros((t, h, w), np.int32)
+    markers[:, 20, 12] = 1
+    markers[:, 20, 28] = 2
+    ours = watershed(zflow(field.shape), zflow(field.shape), field, markers)
+    oracle = flow_watershed_host(
+        zflow(field.shape), zflow(field.shape), field, markers
+    )
+    assert iou_per_label(oracle, ours) >= 0.95

@@ -1,0 +1,217 @@
+"""Flow-aware watershed segmentation, TPU-native.
+
+Reference behaviour: ``tobac_flow/watershed.py`` + ``tobac_flow/_watershed.pyx``
+— a serial priority-flood (min-heap over (value, age)) where the temporal
+neighbour offsets are displaced by the per-pixel rounded flow vectors.
+
+The serial heap is inherently sequential, so the TPU implementation solves the
+equivalent *minimax-path* formulation with data-parallel Jacobi iteration:
+
+  cost(p)  = min over neighbours q of max(cost(q), field(p)),   cost(marker) = field(marker)
+  label(p) = label of the lexicographic argmin (cost, hops, label)
+
+where ``hops`` counts propagation steps and approximates the heap's
+age-based tie-breaking on plateaus (earlier-reached wins).  Each sweep is a
+handful of static shifts plus two flow-displaced gathers; sweeps run inside a
+``lax.while_loop`` until a fixed point.
+
+One deliberate difference from the serial kernel: temporal neighbours are
+found by *pulling* along the flow at the destination (t−1 neighbour of p is
+``p + round(backward_flow(p))``), whereas the heap *pushes* along the flow at
+the source.  These coincide exactly for zero flow and agree wherever the
+forward/backward fields are consistent (the same adjoint approximation the
+reference's own label-linking makes, ``label.py:133-137``).  Equivalence with
+the push-semantics heap is tested against the native C++ oracle
+(``tobac_flow_tpu/native``) at IoU ≥ 0.99 and exactly for zero flow.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["watershed"]
+
+_INF = np.float32(np.inf)
+
+
+def connectivity_structure(connectivity):
+    """Build the (3,3,3) boolean neighbourhood from an int connectivity or
+    pass an explicit structuring array through."""
+    if isinstance(connectivity, np.ndarray) or hasattr(connectivity, "shape"):
+        s = np.asarray(connectivity).astype(bool)
+        if s.shape != (3, 3, 3):
+            raise ValueError("connectivity structure must have shape (3,3,3)")
+        return s
+    c = int(connectivity)
+    grid = np.abs(np.indices((3, 3, 3)) - 1).sum(axis=0)
+    return grid <= c
+
+
+def _structure_taps_3d(structure):
+    """(dt, dy, dx) neighbour offsets, excluding the centre."""
+    taps = [
+        (int(t) - 1, int(r) - 1, int(c) - 1)
+        for t, r, c in zip(*np.nonzero(structure))
+        if not (t == 1 and r == 1 and c == 1)
+    ]
+    return tuple(taps)
+
+
+def _gather_3d(arrs, ti, yi, xi, t, h, w, oob_fill):
+    """Gather a tuple of (T,H,W) arrays at integer coordinate arrays with
+    out-of-bounds handling."""
+    inb = (ti >= 0) & (ti < t) & (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    flat = jnp.where(inb, (ti * h + yi) * w + xi, 0)
+    outs = []
+    for a, fill in zip(arrs, oob_fill):
+        v = jnp.take(a.reshape(-1), flat.reshape(-1), axis=0).reshape(a.shape)
+        outs.append(jnp.where(inb, v, fill))
+    return outs
+
+
+@functools.partial(jax.jit, static_argnames=("taps", "max_iters"))
+def _watershed_device(field, markers, mask, fwd_int, bwd_int, taps, max_iters):
+    t, h, w = field.shape
+    ti = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 0)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 1)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 2)
+
+    seeded = markers != 0
+    floodable = mask & ~seeded
+
+    # Heap semantics being reproduced: a pixel p is claimed (label-at-push)
+    # by the neighbour q that POPS first, i.e. argmin over q of
+    # (cost(q), age) where cost(q) = q's own flood level.  p's own flood
+    # level then becomes max(field(p), cost(q*)).  So the per-pixel state is
+    # the claiming neighbour's cost ("claim"), and p's cost is derived.
+    # Unlabeled pixels carry a sentinel-large hop count so flooding can
+    # cross +inf plateaus (the serial heap also pops inf-valued pixels, last).
+    big_hops = jnp.int32(1 << 30)
+    claim0 = jnp.where(seeded, jnp.float32(-np.inf), _INF)
+    hops0 = jnp.where(seeded, 0, big_hops).astype(jnp.int32)
+    label0 = markers
+
+    big_label = jnp.int32(np.iinfo(np.int32).max)
+
+    def sweep(state):
+        claim, hops, label = state
+        cost = jnp.where(seeded, field, jnp.maximum(field, claim))
+        best_c, best_h, best_l = claim, hops, label
+        for dt, dy, dx in taps:
+            if dt == 0:
+                tq = ti
+                yq = yi + dy
+                xq = xi + dx
+            elif dt == -1:
+                tq = ti - 1
+                yq = yi + bwd_int[..., 1] + dy
+                xq = xi + bwd_int[..., 0] + dx
+            else:
+                tq = ti + 1
+                yq = yi + fwd_int[..., 1] + dy
+                xq = xi + fwd_int[..., 0] + dx
+            cq, hq, lq = _gather_3d(
+                (cost, hops, label), tq, yq, xq, t, h, w, (_INF, 0, 0)
+            )
+            cand_h = jnp.minimum(hq + 1, big_hops - 1)
+            cand_l = lq
+            valid = lq != 0  # unlabeled / out-of-bounds sources never compete
+            # lexicographic (claim cost, hops, label); the hop count stands in
+            # for the heap's push age on equal-cost fronts, label id breaks
+            # exact ties deterministically (0 ordered last via a max view)
+            better = cq < best_c
+            tie_c = cq == best_c
+            better = better | (tie_c & (cand_h < best_h))
+            tie_h = tie_c & (cand_h == best_h)
+            key = lambda l: jnp.where(l == 0, big_label, l)
+            better = (better | (tie_h & (key(cand_l) < key(best_l)))) & valid
+            best_c = jnp.where(better, cq, best_c)
+            best_h = jnp.where(better, cand_h, best_h)
+            best_l = jnp.where(better, cand_l, best_l)
+        new_claim = jnp.where(floodable, best_c, claim)
+        new_hops = jnp.where(floodable, best_h, hops)
+        new_label = jnp.where(floodable, best_l, label)
+        return new_claim, new_hops, new_label
+
+    def cond(carry):
+        state, changed, it = carry
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(carry):
+        state, _, it = carry
+        new = sweep(state)
+        changed = (
+            jnp.any(new[2] != state[2])
+            | jnp.any(new[0] != state[0])
+            | jnp.any(new[1] != state[1])
+        )
+        return new, changed, it + 1
+
+    (claim, hops, label), _, _ = jax.lax.while_loop(
+        cond, body, ((claim0, hops0, label0), jnp.bool_(True), jnp.int32(0))
+    )
+    return jnp.where(seeded | (mask & (label != 0)), label, 0)
+
+
+def watershed(
+    forward_flow,
+    backward_flow,
+    field,
+    markers,
+    mask=None,
+    connectivity=1,
+    max_iters: int | None = None,
+):
+    """Watershed segmentation of a (T, H, W) sequence in the moving frame
+    (API parity: reference ``watershed.py:17-168``).
+
+    Parameters
+    ----------
+    forward_flow, backward_flow : (T, H, W, 2) flow fields (x, y channels).
+    field : (T, H, W) topography to flood (NaN treated as +inf barriers).
+    markers : (T, H, W) int seeds; negative markers flood as barriers and can
+        be removed by the caller afterwards (reference ``detection.py:570``).
+    mask : optional bool array; False pixels are never flooded.
+    connectivity : int (1..3) or explicit (3,3,3) structuring element.
+    max_iters : sweep cap; defaults to T + H + W + 32.
+    """
+    field = np.asarray(getattr(field, "values", field), dtype=np.float32)
+    markers = np.asarray(getattr(markers, "values", markers))
+    if markers.shape != field.shape:
+        raise ValueError(
+            f"`markers` (shape {markers.shape}) must have same shape as "
+            f"`image` (shape {field.shape})"
+        )
+    markers = markers.astype(np.int32)
+    if mask is None:
+        mask_arr = np.ones(field.shape, dtype=bool)
+    else:
+        mask_arr = np.asarray(getattr(mask, "values", mask)).astype(bool)
+        if mask_arr.shape != field.shape:
+            raise ValueError(
+                f"`mask` (shape {mask_arr.shape}) must have same shape as "
+                f"`image` (shape {field.shape})"
+            )
+    structure = connectivity_structure(connectivity)
+    taps = _structure_taps_3d(structure)
+    if max_iters is None:
+        max_iters = int(sum(field.shape)) + 32
+
+    field_j = jnp.asarray(np.where(np.isnan(field), np.inf, field))
+    fwd_int = jnp.asarray(np.round(np.asarray(forward_flow)).astype(np.int32))
+    bwd_int = jnp.asarray(np.round(np.asarray(backward_flow)).astype(np.int32))
+
+    out = _watershed_device(
+        field_j,
+        jnp.asarray(markers),
+        jnp.asarray(mask_arr),
+        fwd_int,
+        bwd_int,
+        taps,
+        max_iters,
+    )
+    return np.asarray(out)
