@@ -214,4 +214,4 @@ def watershed(
         taps,
         max_iters,
     )
-    return np.asarray(out)
+    return np.array(out)  # writable host copy
