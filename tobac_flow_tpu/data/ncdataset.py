@@ -313,6 +313,10 @@ class Dataset:
                     )
                     ds = f.create_dataset(name, data=data, **kw)
                     ds.attrs["units"] = "seconds since 1970-01-01"
+                elif np.issubdtype(vals.dtype, np.timedelta64):
+                    data = vals.astype("timedelta64[ns]").astype(np.int64) / 1e9
+                    ds = f.create_dataset(name, data=data, **kw)
+                    ds.attrs["units"] = "seconds"
                 elif vals.dtype.kind in "UO":
                     import h5py as _h
 

@@ -76,19 +76,25 @@ class FarnebackParams:
 
 def _sepconv(img, kernel, axis):
     """Correlate a (..., H, W) array along `axis` (-1 or -2) with a 1D kernel,
-    edge-replicated borders. Implemented as shifted adds (XLA fuses these)."""
-    k = len(kernel)
-    r = k // 2
+    edge-replicated borders.  Lowered to one conv_general_dilated (keeps the
+    graph small and maps onto the TPU conv path instead of K shifted adds)."""
+    k = np.asarray(kernel, dtype=np.float32)
+    r = len(k) // 2
+    axis = axis % img.ndim
     pad = [(0, 0)] * img.ndim
     pad[axis] = (r, r)
     padded = jnp.pad(img, pad, mode="edge")
-    out = None
-    for i in range(k):
-        sl = [slice(None)] * img.ndim
-        sl[axis] = slice(i, i + img.shape[axis])
-        term = float(kernel[i]) * padded[tuple(sl)]
-        out = term if out is None else out + term
-    return out
+    # reshape to NCHW with a single channel; batch folds the other dims
+    moved = jnp.moveaxis(padded, axis, -1)
+    lead = moved.shape[:-1]
+    flat = moved.reshape((-1, 1, 1, moved.shape[-1]))
+    kern = jnp.asarray(k).reshape((1, 1, 1, len(k)))  # lax conv == correlation
+    out = jax.lax.conv_general_dilated(
+        flat, kern, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    out = out.reshape(lead + (out.shape[-1],))
+    return jnp.moveaxis(out, -1, axis)
 
 
 @functools.lru_cache(maxsize=None)
@@ -169,9 +175,24 @@ def _bilinear_sample_clamped(field, px, py):
 
 
 def _box_blur(img, winsize):
-    """Separable box filter with edge replication (cv2 box aggregation)."""
-    k = np.ones(winsize) / winsize
-    return _sepconv(_sepconv(img, k, -2), k, -1)
+    """Separable box filter with edge replication (cv2 box aggregation),
+    via cumulative sums — O(1) work per pixel independent of winsize."""
+    r = winsize // 2
+
+    def box1d(a, axis):
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (r, r)
+        p = jnp.pad(a, pad, mode="edge")
+        c = jnp.cumsum(p, axis=axis)
+        zeros_shape = list(c.shape)
+        zeros_shape[axis] = 1
+        c = jnp.concatenate([jnp.zeros(zeros_shape, c.dtype), c], axis=axis)
+        n = a.shape[axis]
+        hi = jax.lax.slice_in_dim(c, winsize, winsize + n, axis=axis)
+        lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
+        return (hi - lo) / winsize
+
+    return box1d(box1d(img, -2), -1)
 
 
 def _update_flow(b1, A1, R2, flow, winsize, num_iters):
@@ -249,7 +270,9 @@ def farneback_pair(prev, nxt, params: FarnebackParams = None):
         b2, A2 = poly_exp(i2, params.poly_n, params.poly_sigma)
         R2 = jnp.concatenate([b2, A2], axis=-1)
         if flow is None:
-            flow = jnp.zeros((hk, wk, 2), dtype=jnp.float32)
+            # derive the zero init from the input so its sharding/varying type
+            # matches inside shard_map (fori_loop carries must type-match)
+            flow = jnp.zeros((hk, wk, 2), dtype=jnp.float32) + 0.0 * i1[..., None]
         else:
             flow = (
                 jax.image.resize(flow, (hk, wk, 2), method="linear")

@@ -1,0 +1,330 @@
+"""Sharded (multi-chip) detection pipeline step.
+
+One jitted SPMD program over a (t, x) device mesh covering the dense compute
+of the DCC pipeline: pairwise optical flow, semi-Lagrangian growth rates,
+anvil edge field, core/anvil marker masks, and seeded watershed sweeps.
+Time shards exchange ±1-frame halos, spatial tiles exchange
+±(max_flow + stencil) pixel halos — all over ICI via ``ppermute``
+(see ``parallel/halo.py``).  The data-dependent label bookkeeping (CCL
+renumbering, overlap-graph linking, per-object filters) stays on host after a
+gather, mirroring the reference's file-level relinking (SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tobac_flow_tpu.models.farneback import FarnebackParams, farneback_pair
+from tobac_flow_tpu.parallel.halo import halo_exchange_t, halo_exchange_x
+
+__all__ = ["sharded_detect_step", "make_sharded_step"]
+
+
+def _normalise_pair_block(prev, nxt):
+    """Joint linear normalisation of a frame pair to 0..255 (see
+    models._normalise_pair; NaN holes inherit the other frame)."""
+    stack = jnp.stack([prev, nxt])
+    vmin = jnp.nanmin(stack)
+    vmax = jnp.nanmax(stack)
+    norm = jnp.clip(
+        (stack - vmin) * jnp.where(vmax > vmin, 1.0 / (vmax - vmin), 0.0), 0.0, 1.0
+    )
+    scaled = norm * 255.0
+    finite = jnp.isfinite(scaled)
+    filled = jnp.where(finite, scaled, 127.0)
+    a = jnp.where(finite[0], filled[0], jnp.where(finite[1], filled[1], 127.0))
+    b = jnp.where(finite[1], filled[1], jnp.where(finite[0], filled[0], 127.0))
+    return jnp.round(a), jnp.round(b)
+
+
+def _local_flow(bt_h, params):
+    """Forward/backward flow for a halo-extended (T_l + 2, H, W) block.
+
+    Returns flows for the T_l interior frames.
+    """
+    t_ext = bt_h.shape[0]
+
+    def pair(i):
+        p8, n8 = _normalise_pair_block(bt_h[i], bt_h[i + 1])
+        return (
+            farneback_pair(p8, n8, params),
+            farneback_pair(n8, p8, params),
+        )
+
+    fwds, bwds = [], []
+    for j in range(t_ext - 1):  # static unroll over local pairs
+        f, b = pair(j)
+        fwds.append(f)
+        bwds.append(b)
+    fwd_pairs = jnp.stack(fwds)  # pair j: frame j -> j+1 (halo indexing)
+    bwd_pairs = jnp.stack(bwds)
+    # interior frame i (halo index i+1): forward = pair i+1, backward = pair i
+    fwd = fwd_pairs[1:]
+    bwd = bwd_pairs[:-1]
+    return fwd, bwd
+
+
+def _stencil_gather(data_h, flow, dyx, taps, fill):
+    """Gather flow-displaced neighbours from the ±1-frame halo block.
+
+    data_h: (T_l + 2, H, W); flow: (T_l, H, W, 2) displacement toward the
+    neighbouring frame (dt = dyx); returns list of (T_l, H, W) taps.
+    """
+    tl = flow.shape[0]
+    h, w = data_h.shape[1:]
+    yi = jax.lax.broadcasted_iota(jnp.float32, (tl, h, w), 1)
+    xi = jax.lax.broadcasted_iota(jnp.float32, (tl, h, w), 2)
+    neighbour = jax.lax.dynamic_slice_in_dim(data_h, 1 + dyx, tl, axis=0)
+    bx = xi + flow[..., 0]
+    by = yi + flow[..., 1]
+    outs = []
+    for ox, oy in taps:
+        px = bx + ox
+        py = by + oy
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        fx = px - x0
+        fy = py - y0
+        acc = jnp.zeros((tl, h, w), jnp.float32)
+        for ky in (0, 1):
+            for kx in (0, 1):
+                ix = x0 + kx
+                iy = y0 + ky
+                inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+                flat_idx = jnp.where(inb, iy * w + ix, 0)
+                vals = jnp.take_along_axis(
+                    neighbour.reshape(tl, -1), flat_idx.reshape(tl, -1), axis=1
+                ).reshape(tl, h, w)
+                vals = jnp.where(inb, vals, fill)
+                wgt = (fy if ky else 1 - fy) * (fx if kx else 1 - fx)
+                acc = acc + jnp.where(wgt == 0, 0.0, wgt * vals)
+        outs.append(acc)
+    return outs
+
+
+def _nanmean_taps(taps):
+    total = None
+    count = None
+    for tap in taps:
+        fin = jnp.isfinite(tap)
+        v = jnp.where(fin, tap, 0.0)
+        total = v if total is None else total + v
+        c = fin.astype(jnp.float32)
+        count = c if count is None else count + c
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), jnp.nan)
+
+
+def _detect_step_local(bt, wvd, swd, dt_minutes, params, hx, ws_sweeps):
+    """shard_map body: local (T_l, H, W_l) blocks + halo exchanges."""
+    nan = jnp.float32(jnp.nan)
+
+    # -- halo-extend in x then t ----------------------------------------
+    bt_x = halo_exchange_x(bt, halo=hx, fill_value=nan)
+    wvd_x = halo_exchange_x(wvd, halo=hx, fill_value=nan)
+    swd_x = halo_exchange_x(swd, halo=hx, fill_value=nan)
+    bt_h = halo_exchange_t(bt_x, halo=1, fill_value=nan)
+    wvd_h = halo_exchange_t(wvd_x, halo=1, fill_value=nan)
+
+    # -- optical flow on extended tiles ---------------------------------
+    fwd, bwd = _local_flow(bt_h, params)
+    fwd = jnp.clip(fwd, -20.0, 20.0)
+    bwd = jnp.clip(bwd, -20.0, 20.0)
+    # reference boundary rule at the global sequence ends
+    t_idx = jax.lax.axis_index("t")
+    n_t = jax.lax.axis_size("t")
+    is_first = t_idx == 0
+    is_last = t_idx == n_t - 1
+    bwd = bwd.at[0].set(jnp.where(is_first, -fwd[0], bwd[0]))
+    fwd = fwd.at[-1].set(jnp.where(is_last, -bwd[-1], fwd[-1]))
+
+    # -- semi-Lagrangian growth rate of -bt -----------------------------
+    centre = (0, 0)
+    prev_tap = _stencil_gather(-bt_h, bwd, -1, [centre], nan)[0]
+    next_tap = _stencil_gather(-bt_h, fwd, +1, [centre], nan)[0]
+    cur = -bt_x
+    f_ok = jnp.isfinite(next_tap)
+    b_ok = jnp.isfinite(prev_tap)
+    diff = (
+        jnp.where(f_ok, next_tap - cur, 0.0) + jnp.where(b_ok, cur - prev_tap, 0.0)
+    ) / jnp.maximum(f_ok.astype(jnp.float32) + b_ok.astype(jnp.float32), 1.0)
+    growth = diff / dt_minutes
+    # spatial smoothing (in-plane cross)
+    sp = [growth]
+    for ox, oy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        sp.append(jnp.roll(jnp.roll(growth, oy, axis=1), ox, axis=2))
+    bt_growth = _nanmean_taps(sp)
+
+    # -- core marker mask -----------------------------------------------
+    core_markers = bt_growth > 0.5
+
+    # -- anvil field, markers, edge field -------------------------------
+    anvil_field = jnp.clip((wvd_x - swd_x + 15.0) / 10.0, 0.0, 1.0)
+    anvil_markers = anvil_field >= 1.0
+    # uphill Sobel magnitude along the flow (full 27-tap stencil)
+    offsets = [(ox, oy) for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
+    field_h = halo_exchange_t(anvil_field, halo=1, fill_value=nan)
+    taps_prev = _stencil_gather(field_h, bwd, -1, offsets, nan)
+    taps_next = _stencil_gather(field_h, fwd, +1, offsets, nan)
+    taps_same = [
+        jnp.roll(jnp.roll(anvil_field, oy, axis=1), ox, axis=2) for ox, oy in offsets
+    ]
+    centre_val = anvil_field
+    # axis-permuted 3D Sobel weights over the (3,3,3) stencil
+    base = np.multiply.outer(
+        np.array([1, 2, 1]), np.multiply.outer(np.array([1, 2, 1]), np.array([-1, 0, 1]))
+    )
+    w_x = base  # gradient along x
+    w_y = base.transpose(0, 2, 1)
+    w_tt = base.transpose(2, 0, 1)
+    gx = gy = gt = 0.0
+    all_taps = [taps_prev, taps_same, taps_next]
+    for pi, plane in enumerate(all_taps):
+        for oi, (ox, oy) in enumerate(offsets):
+            rect = jnp.fmax(plane[oi] - centre_val, 0.0)
+            rect = jnp.where(jnp.isnan(rect), 0.0, rect)
+            gx = gx + float(w_x[pi, oy + 1, ox + 1]) * rect
+            gy = gy + float(w_y[pi, oy + 1, ox + 1]) * rect
+            gt = gt + float(w_tt[pi, oy + 1, ox + 1]) * rect
+    edges = jnp.sqrt(gx * gx + gy * gy + gt * gt)
+    edges = jnp.where(edges > 0, edges + 1.0, edges) - anvil_field
+    edges = jnp.where(jnp.isnan(anvil_field), jnp.inf, edges)
+
+    # -- seeded watershed sweeps ----------------------------------------
+    tl, h, wl = bt.shape[0], bt_x.shape[1], bt_x.shape[2]
+    pix = (
+        jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 0) * (h * wl)
+        + jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 1) * wl
+        + jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 2)
+        + 1
+    )
+    shard_off = (t_idx * jax.lax.axis_size("x") + jax.lax.axis_index("x") + 1) * (
+        tl * h * wl
+    )
+    label = jnp.where(anvil_markers, pix + shard_off, 0)
+    claim = jnp.where(anvil_markers, jnp.float32(-jnp.inf), jnp.float32(jnp.inf))
+    hops = jnp.where(anvil_markers, 0, 1 << 30).astype(jnp.int32)
+    fwd_i = jnp.round(fwd).astype(jnp.int32)
+    bwd_i = jnp.round(bwd).astype(jnp.int32)
+
+    def ws_sweep(state, _):
+        claim, hops, label = state
+        # exchange ±1-frame halos of the state between time shards
+        def ext(a, fill):
+            return halo_exchange_t(a, halo=1, fill_value=fill)
+
+        cost = jnp.where(anvil_markers, edges, jnp.maximum(edges, claim))
+        cost_h = ext(cost, jnp.inf)
+        hops_h = ext(hops.astype(jnp.float32), 0.0).astype(jnp.int32)
+        label_h = ext(label.astype(jnp.float32), 0.0).astype(jnp.int32)
+        best = (claim, hops, label)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 1)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 2)
+        ti = jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 0)
+
+        def consider(best, cq, hq, lq):
+            bc, bh, bl = best
+            cand_h = jnp.minimum(hq + 1, (1 << 30) - 1)
+            valid = lq != 0
+            better = (cq < bc) | ((cq == bc) & (cand_h < bh))
+            better = better & valid
+            return (
+                jnp.where(better, cq, bc),
+                jnp.where(better, cand_h, bh),
+                jnp.where(better, lq, bl),
+            )
+
+        # in-plane neighbours (static shifts)
+        for ox, oy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            cq = jnp.roll(jnp.roll(cost, oy, 1), ox, 2)
+            hq = jnp.roll(jnp.roll(hops, oy, 1), ox, 2)
+            lq = jnp.roll(jnp.roll(label, oy, 1), ox, 2)
+            best = consider(best, cq, hq, lq)
+        # temporal neighbours displaced by the rounded flow
+        for dt_, fl in ((-1, bwd_i), (1, fwd_i)):
+            ty = yi + fl[..., 1]
+            tx = xi + fl[..., 0]
+            inb = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < wl)
+            src_t = ti + dt_ + 1  # index into halo-extended arrays
+            flat = (src_t * h + jnp.where(inb, ty, 0)) * wl + jnp.where(inb, tx, 0)
+            take = lambda a, fill: jnp.where(
+                inb, jnp.take(a.reshape(-1), flat.reshape(-1)).reshape(tl, h, wl), fill
+            )
+            cq = take(cost_h, jnp.inf)
+            hq = take(hops_h.astype(jnp.float32), 0.0).astype(jnp.int32)
+            lq = take(label_h.astype(jnp.float32), 0.0).astype(jnp.int32)
+            best = consider(best, cq, hq, lq)
+        floodable = ~anvil_markers
+        return (
+            jnp.where(floodable, best[0], claim),
+            jnp.where(floodable, best[1], hops),
+            jnp.where(floodable, best[2], label),
+        ), None
+
+    state = (claim, hops, label)
+    for _ in range(ws_sweeps):  # static unroll: keeps shard_map vma simple
+        state, _ = ws_sweep(state, None)
+    claim, hops, label = state
+
+    # crop x halos from all outputs
+    def crop(a):
+        return a[..., hx:-hx] if hx else a
+
+    return (
+        crop(fwd),
+        crop(bwd),
+        crop(bt_growth),
+        crop(core_markers),
+        crop(edges),
+        crop(label),
+    )
+
+
+def make_sharded_step(
+    mesh,
+    dt_minutes: float = 5.0,
+    params: FarnebackParams | None = None,
+    hx: int = 8,
+    ws_sweeps: int = 4,
+):
+    """Build the jitted SPMD detection step for a given mesh.
+
+    Returns a function (bt, wvd, swd) -> (fwd, bwd, bt_growth, core_markers,
+    edge_field, watershed_labels) with all inputs/outputs sharded
+    P('t', None, 'x').
+    """
+    if params is None:
+        params = FarnebackParams(num_levels=2, winsize=9, num_iters=3)
+    spec = P("t", None, "x")
+
+    body = functools.partial(
+        _detect_step_local,
+        dt_minutes=dt_minutes,
+        params=params,
+        hx=hx,
+        ws_sweeps=ws_sweeps,
+    )
+    flow_spec = P("t", None, "x", None)
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(flow_spec, flow_spec, spec, spec, spec, spec),
+    )
+    return jax.jit(mapped)
+
+
+def sharded_detect_step(mesh, bt, wvd, swd, **kwargs):
+    """Convenience wrapper: place the inputs on the mesh and run one step."""
+    step = make_sharded_step(mesh, **kwargs)
+    spec = P("t", None, "x")
+    sharding = NamedSharding(mesh, spec)
+    args = [
+        jax.device_put(jnp.asarray(np.asarray(a), dtype=jnp.float32), sharding)
+        for a in (bt, wvd, swd)
+    ]
+    return step(*args)
