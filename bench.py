@@ -32,8 +32,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 REPO = Path(__file__).parent
 BASELINE_FILE = REPO / "bench_cpu_baseline.json"
 
-# benchmark workload (TPU): GOES-like tile
-T, H, W = 32, 1024, 1536
+# benchmark workload (TPU): GOES-like tile (sized to single-chip HBM)
+T, H, W = 24, 1024, 1536
 # CPU baseline workload (same spatial size, fewer frames, rate extrapolates)
 T_CPU = 6
 
@@ -53,27 +53,32 @@ def make_scene(t, h, w, seed=0):
 
 
 def tpu_pipeline(bt, dt_minutes=5.0):
-    """The measured TPU path: flow + diff-growth + sobel edges + watershed."""
+    """The measured TPU path: fused device-resident flow + growth + edges +
+    watershed (tobac_flow_tpu.pipeline.fused_flow_watershed); only scalar
+    summaries cross the host boundary."""
     import jax.numpy as jnp
 
-    from tobac_flow_tpu.core.flow import Flow
-    from tobac_flow_tpu.models import batch_flow
-    from tobac_flow_tpu.ops.watershed import watershed
+    from tobac_flow_tpu.pipeline import fused_flow_watershed
 
-    fwd, bwd = batch_flow(bt, model="Farneback")
-    fwd = np.clip(fwd, -20, 20)
-    bwd = np.clip(bwd, -20, 20)
-    flow = Flow(fwd, bwd)
+    fwd, growth, edges, labels = fused_flow_watershed(bt, dt_minutes)
+    return float(jnp.nansum(growth)), int((labels != 0).sum())
 
-    growth = np.asarray(flow.diff(-bt)) / dt_minutes
-    field = np.clip((260.0 - bt) / 10.0, 0.0, 1.0)
-    edges = np.array(flow.sobel(field, direction="uphill", method="cubic"))
-    edges[edges > 0] += 1
-    edges = edges - field
-    markers = np.where(field >= 1.0, 1, 0).astype(np.int32)
-    mask = field > 0.05  # bounded flood region (anvil-like), same for CPU path
-    labels = watershed(fwd, bwd, edges, markers, mask=mask, max_iters=256)
-    return growth, labels
+
+def make_scene_device(t, h, w):
+    """Synthetic scene generated on device (no host upload)."""
+    import jax
+    import jax.numpy as jnp
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (t, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (t, h, w), 2)
+    ti = jax.lax.broadcasted_iota(jnp.float32, (t, h, w), 0)
+    cx = w * 0.25 + 3.0 * ti
+    cy = h * 0.4 + 1.5 * ti
+    r = h / 12 + ti * 2
+    core = jnp.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r * r))
+    bt = 290.0 - (30.0 + 3.0 * ti) * core
+    noise = jax.random.normal(jax.random.PRNGKey(0), (t, h, w)) * 0.3
+    return bt + noise
 
 
 def cpu_reference_pipeline(bt, dt_minutes=5.0):
@@ -182,7 +187,9 @@ def main():
     else:
         cpu_rate = measure_cpu_baseline()
 
-    bt = make_scene(T, H, W)
+    import jax
+
+    bt = jax.block_until_ready(make_scene_device(T, H, W))
     # full same-shape warm-up run pays all compilation outside the timed region
     tpu_pipeline(bt)
     start = time.perf_counter()

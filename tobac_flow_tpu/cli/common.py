@@ -1,0 +1,237 @@
+"""Shared detection-pipeline driver used by every ingest CLI.
+
+Mirrors the step sequence and default thresholds of the reference main
+pipeline (``scripts/dcc_detect_goes.py:134-449``): flow → detect_cores →
+anvil markers → thick anvils (+optional relabel) → thin anvils → label
+coords/links/steps → flags → optional properties/statistics → netCDF with
+compressed encoding and atomic .temp rename.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+from tobac_flow_tpu.core.flow import create_flow
+from tobac_flow_tpu.data.ncdataset import Dataset
+from tobac_flow_tpu.detect import (
+    detect_anvils,
+    detect_cores,
+    get_anvil_markers,
+    relabel_anvils,
+)
+from tobac_flow_tpu.detect.analysis import get_label_stats
+from tobac_flow_tpu.schema import (
+    add_label_coords,
+    add_step_labels,
+    calculate_label_properties,
+    flag_edge_labels,
+    flag_nan_adjacent_labels,
+    link_cores_and_anvils,
+    link_step_labels,
+)
+
+__all__ = ["run_detection", "DetectionOptions"]
+
+
+class DetectionOptions:
+    """Pipeline thresholds (defaults = reference dcc_detect_goes.py:169-291)."""
+
+    def __init__(
+        self,
+        wvd_threshold=0.25,
+        bt_threshold=0.5,
+        overlap=0.5,
+        absolute_overlap=4,
+        subsegment_shrink=0.0,
+        t_offset=3,
+        use_wvd=False,
+        thick_upper=-5.0,
+        thick_lower=-12.5,
+        thin_upper=0.0,
+        thin_lower=-7.5,
+        erode_distance=2,
+        relabel=True,
+        flow_model="Farneback",
+        vr_steps=1,
+        smoothing_passes=1,
+        interp_method="cubic",
+        save_label_props=True,
+        save_spatial_props=False,
+        save_field_props=True,
+        save_bt=False,
+        save_wvd=False,
+        save_swd=False,
+        save_anvil_markers=False,
+    ):
+        self.__dict__.update(locals())
+        del self.__dict__["self"]
+
+
+def run_detection(
+    bt,
+    wvd,
+    swd,
+    dataset: Dataset,
+    start_date=None,
+    end_date=None,
+    opts: DetectionOptions | None = None,
+) -> Dataset:
+    """Run the full DCC detection pipeline into ``dataset``."""
+    if opts is None:
+        opts = DetectionOptions()
+
+    print(datetime.now(), "Calculating flow field", flush=True)
+    flow = create_flow(
+        bt,
+        model=opts.flow_model,
+        vr_steps=opts.vr_steps,
+        smoothing_passes=opts.smoothing_passes,
+        interp_method=opts.interp_method,
+    )
+
+    print(datetime.now(), "Detecting growth markers", flush=True)
+    core_labels = detect_cores(
+        flow,
+        bt,
+        wvd,
+        swd,
+        wvd_threshold=opts.wvd_threshold,
+        bt_threshold=opts.bt_threshold,
+        overlap=opts.overlap,
+        absolute_overlap=opts.absolute_overlap,
+        subsegment_shrink=opts.subsegment_shrink,
+        min_length=opts.t_offset,
+        use_wvd=opts.use_wvd,
+    )
+    print("Final detected core count: n =", core_labels.values.max(), flush=True)
+    dataset["core_label"] = core_labels
+
+    print(datetime.now(), "Detecting thick anvil region", flush=True)
+    anvil_markers = get_anvil_markers(
+        flow,
+        wvd - swd,
+        threshold=opts.thick_upper,
+        overlap=opts.overlap,
+        absolute_overlap=opts.absolute_overlap,
+        subsegment_shrink=opts.subsegment_shrink,
+        min_length=opts.t_offset,
+        name="anvil_marker_label",
+    )
+    print(
+        "Final thick anvil markers: n =", anvil_markers.values.max(), flush=True
+    )
+
+    thick_anvil_labels = detect_anvils(
+        flow,
+        wvd - swd,
+        markers=anvil_markers,
+        upper_threshold=opts.thick_upper,
+        lower_threshold=opts.thick_lower,
+        erode_distance=opts.erode_distance,
+        min_length=opts.t_offset,
+        name="thick_anvil_label",
+        attributes=dict(long_name="Labels of detected thick anvil regions"),
+    )
+    if opts.relabel:
+        thick_anvil_labels = relabel_anvils(
+            flow,
+            thick_anvil_labels,
+            markers=anvil_markers,
+            overlap=opts.overlap,
+            absolute_overlap=opts.absolute_overlap,
+            min_length=opts.t_offset,
+            name="thick_anvil_label",
+            attributes=dict(long_name="Labels of detected thick anvil regions"),
+        )
+    print(
+        "Final detected thick anvils: n =",
+        thick_anvil_labels.values.max(),
+        flush=True,
+    )
+    dataset["thick_anvil_label"] = thick_anvil_labels
+    if opts.save_anvil_markers:
+        dataset["anvil_marker_label"] = anvil_markers
+
+    print(datetime.now(), "Detecting thin anvil region", flush=True)
+    thin_anvil_labels = detect_anvils(
+        flow,
+        wvd + swd,
+        markers=thick_anvil_labels,
+        upper_threshold=opts.thin_upper,
+        lower_threshold=opts.thin_lower,
+        erode_distance=opts.erode_distance,
+        min_length=opts.t_offset,
+        name="thin_anvil_label",
+        attributes=dict(long_name="Labels of detected thin anvil regions"),
+    )
+    print(
+        "Detected thin anvils: n =", thin_anvil_labels.values.max(), flush=True
+    )
+    dataset["thin_anvil_label"] = thin_anvil_labels
+
+    print(datetime.now(), "Preparing output", flush=True)
+    dataset = add_label_coords(dataset)
+    link_cores_and_anvils(dataset)
+    add_step_labels(dataset)
+    dataset = add_label_coords(dataset)
+    link_step_labels(dataset)
+    flag_edge_labels(dataset, start_date, end_date)
+    flag_nan_adjacent_labels(dataset, wvd)
+
+    if opts.save_label_props:
+        calculate_label_properties(dataset)
+    if opts.save_spatial_props:
+        get_label_stats(dataset["core_label"], dataset)
+        get_label_stats(dataset["thick_anvil_label"], dataset)
+        get_label_stats(dataset["thin_anvil_label"], dataset)
+    if opts.save_field_props:
+        from tobac_flow_tpu.detect.analysis import weighted_statistics_on_labels
+
+        if "area" in dataset:
+            weights = np.repeat(
+                np.asarray(dataset["area"].values)[np.newaxis], len(bt.values), 0
+            )
+        else:
+            weights = np.ones_like(bt.values)
+        for field in (bt, wvd, swd):
+            for labels, name, dim in [
+                (dataset["core_label"], "core", "core"),
+                (dataset["thick_anvil_label"], "thick_anvil", "anvil"),
+                (dataset["thin_anvil_label"], "thin_anvil", "anvil"),
+                (dataset["core_step_label"], "core_step", "core_step"),
+                (
+                    dataset["thick_anvil_step_label"],
+                    "thick_anvil_step",
+                    "thick_anvil_step",
+                ),
+                (
+                    dataset["thin_anvil_step_label"],
+                    "thin_anvil_step",
+                    "thin_anvil_step",
+                ),
+            ]:
+                for da in weighted_statistics_on_labels(
+                    labels, field, weights, name=name, dim=dim, dtype=np.float32
+                ):
+                    dataset[da.name] = da
+    if opts.save_bt:
+        dataset["bt"] = bt
+    if opts.save_wvd:
+        dataset["wvd"] = wvd
+    if opts.save_swd:
+        dataset["swd"] = swd
+    return dataset
+
+
+def save_dataset(dataset: Dataset, save_path) -> None:
+    """Write via an atomic-ish .temp.nc rename (reference
+    dcc_detect_goes.py:206,445-452)."""
+    save_path = Path(save_path)
+    temp_path = save_path.with_suffix(".temp.nc")
+    dataset.to_netcdf(temp_path, compress=True, complevel=5)
+    os.replace(temp_path, save_path)
+    print(datetime.now(), "Saved to", save_path, flush=True)

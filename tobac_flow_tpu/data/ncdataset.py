@@ -259,6 +259,20 @@ class Dataset:
             out.data_vars[k] = v.isel(**{d: s for d, s in sel.items() if d in v.dims})
         return out
 
+    def sel(self, **sel):
+        """Subset by coordinate *values* along each named dimension (the
+        xarray ``.sel`` subset the reference's filter utilities use)."""
+        isel = {}
+        for dim, values in sel.items():
+            coord = self.coords[dim]
+            values = np.asarray(getattr(values, "values", values))
+            order = np.argsort(coord)
+            pos = order[np.searchsorted(coord, values, sorter=order)]
+            if not np.array_equal(coord[pos], values):
+                raise KeyError(f"some values not found in coord {dim!r}")
+            isel[dim] = pos
+        return self.isel(**isel)
+
     # -- netCDF I/O ------------------------------------------------------
     def to_netcdf(self, path, compress=True, complevel=4):
         import h5py
@@ -327,8 +341,15 @@ class Dataset:
                     ds = f.create_dataset(name, data=vals, **kw)
                 for i, d in enumerate(var.dims):
                     ds.dims[i].attach_scale(f[d])
+                ds.attrs["_tft_dims"] = ",".join(var.dims)
+                # don't let variable attrs clobber the CF time/duration encoding
+                encoded_keys = (
+                    {"units", "calendar"}
+                    if (_is_time(vals) or np.issubdtype(vals.dtype, np.timedelta64))
+                    else set()
+                )
                 for k, v in var.attrs.items():
-                    if v is not None:
+                    if v is not None and k not in encoded_keys:
                         ds.attrs[k] = v
 
 
@@ -366,10 +387,21 @@ def open_dataset(path):
         for name, obj in scales.items():
             ds.coords[name] = decode(obj)
         for name, obj in variables.items():
-            dims = []
-            for i in range(obj.ndim):
-                dlabels = [s.name.split("/")[-1] for s in obj.dims[i].values()]
-                dims.append(dlabels[0] if dlabels else f"dim_{i}")
+            tft_dims = obj.attrs.get("_tft_dims")
+            if isinstance(tft_dims, bytes):
+                tft_dims = tft_dims.decode()
+            if tft_dims:
+                dims = tft_dims.split(",")
+            else:
+                dims = []
+                for i in range(obj.ndim):
+                    try:
+                        dlabels = [
+                            s.name.split("/")[-1] for s in obj.dims[i].values()
+                        ]
+                    except RuntimeError:
+                        dlabels = []
+                    dims.append(dlabels[0] if dlabels else f"dim_{i}")
             arr = DataArray(decode(obj), dims=tuple(dims), name=name)
             arr.attrs = {k: _from_h5attr(v) for k, v in obj.attrs.items()}
             for d in dims:

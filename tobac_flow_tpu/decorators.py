@@ -21,6 +21,9 @@ def configure_dataarray(name=None, drop_attrs=(), **attrs):
     def decorator(func):
         @functools.wraps(func)
         def wrapper(*args, **kwargs):
+            # call-time overrides (reference scripts pass name=/attributes=)
+            out_name = kwargs.pop("name", name)
+            extra_attrs = kwargs.pop("attributes", None) or {}
             template = None
             for a in args[1:]:
                 if isinstance(a, DataArray):
@@ -28,16 +31,20 @@ def configure_dataarray(name=None, drop_attrs=(), **attrs):
                     break
             result = func(*args, **kwargs)
             if template is None or isinstance(result, DataArray):
+                if isinstance(result, DataArray):
+                    result.name = out_name
+                    result.attrs.update(extra_attrs)
                 return result
             out_attrs = {
                 k: v for k, v in template.attrs.items() if k not in set(drop_attrs)
             }
             out_attrs.update({k: v for k, v in attrs.items() if v is not None})
+            out_attrs.update(extra_attrs)
             return DataArray(
                 np.asarray(result),
                 coords=dict(template.coords),
                 dims=template.dims,
-                name=name,
+                name=out_name,
                 attrs=out_attrs,
             )
 

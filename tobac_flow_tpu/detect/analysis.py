@@ -216,7 +216,9 @@ def weighted_statistics_on_labels(labels, da, weights, name=None, dim=None, dtyp
         func=weighted_stats,
         default=[np.nan] * 4,
     )
-    stats = np.atleast_2d(np.asarray(stats, dtype=np.float64))
+    stats = np.asarray(stats, dtype=np.float64)
+    if stats.ndim == 1:  # single label: squeeze removed the label axis
+        stats = stats.reshape(4, -1)
     out = []
     for i, stat in enumerate(["mean", "std", "max", "min"]):
         out.append(

@@ -1,0 +1,176 @@
+"""Fused single-chip detection pipeline: the whole dense compute path in one
+jitted program with the time window resident in HBM.
+
+This is the performance path the benchmarks measure (SURVEY §7 M4: flow →
+growth → edge field → watershed without leaving the device); the modular ops
+in ``ops/`` and the science layer in ``detect/`` remain the flexible API.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+import numpy as np
+
+from tobac_flow_tpu.models.farneback import FarnebackParams, farneback_pair
+from tobac_flow_tpu.ops.warp import shift_plane, warp_plane
+from tobac_flow_tpu.ops.watershed import (
+    _structure_taps_3d,
+    _watershed_device,
+    connectivity_structure,
+)
+
+__all__ = ["device_flow", "device_detect_fields", "fused_flow_watershed"]
+
+
+def _normalise_pair(prev, nxt):
+    stack = jnp.stack([prev, nxt])
+    vmin = jnp.nanmin(stack)
+    vmax = jnp.nanmax(stack)
+    norm = jnp.clip(
+        (stack - vmin) * jnp.where(vmax > vmin, 1.0 / (vmax - vmin), 0.0), 0.0, 1.0
+    )
+    scaled = norm * 255.0
+    finite = jnp.isfinite(scaled)
+    filled = jnp.where(finite, scaled, 127.0)
+    a = jnp.where(finite[0], filled[0], jnp.where(finite[1], filled[1], 127.0))
+    b = jnp.where(finite[1], filled[1], jnp.where(finite[0], filled[0], 127.0))
+    return jnp.round(a), jnp.round(b)
+
+
+def device_flow(data, params: FarnebackParams | None = None, max_value: float = 20.0):
+    """Forward/backward flow for a device-resident (T, H, W) stack.
+
+    Frame pairs are mapped with ``lax.map`` so the pairwise program compiles
+    once regardless of T.
+    """
+    if params is None:
+        params = FarnebackParams()
+
+    def pair_fn(idx):
+        prev = jax.lax.dynamic_index_in_dim(data, idx, keepdims=False)
+        nxt = jax.lax.dynamic_index_in_dim(data, idx + 1, keepdims=False)
+        p8, n8 = _normalise_pair(prev, nxt)
+        return (
+            farneback_pair(p8, n8, params),
+            farneback_pair(n8, p8, params),
+        )
+
+    t = data.shape[0]
+    idxs = jnp.arange(t - 1)
+    fwd_pairs, bwd_pairs = jax.lax.map(pair_fn, idxs)
+    last_fwd = -bwd_pairs[-1:]
+    first_bwd = -fwd_pairs[:1]
+    fwd = jnp.concatenate([fwd_pairs, last_fwd], axis=0)
+    bwd = jnp.concatenate([first_bwd, bwd_pairs], axis=0)
+    return jnp.clip(fwd, -max_value, max_value), jnp.clip(bwd, -max_value, max_value)
+
+
+def _temporal_taps(data, fwd, bwd, method, fill):
+    """Centre-tap warps of the previous/next frames."""
+    t, h, w = data.shape
+    fill_frame = jnp.full((1, h, w), fill, dtype=data.dtype)
+    prev = jnp.concatenate([fill_frame, data[:-1]], axis=0)
+    nxt = jnp.concatenate([data[1:], fill_frame], axis=0)
+    prev_tap = jax.vmap(
+        lambda im, fl: warp_plane(im, fl, [(0, 0)], method=method, fill_value=fill)[0]
+    )(prev, bwd)
+    next_tap = jax.vmap(
+        lambda im, fl: warp_plane(im, fl, [(0, 0)], method=method, fill_value=fill)[0]
+    )(nxt, fwd)
+    return prev_tap, next_tap
+
+
+def _flow_diff(data, fwd, bwd, method="linear"):
+    prev_tap, next_tap = _temporal_taps(data, fwd, bwd, method, jnp.nan)
+    f_ok = jnp.isfinite(next_tap)
+    b_ok = jnp.isfinite(prev_tap)
+    total = jnp.where(f_ok, next_tap - data, 0.0) + jnp.where(
+        b_ok, data - prev_tap, 0.0
+    )
+    return total / jnp.maximum(
+        f_ok.astype(jnp.float32) + b_ok.astype(jnp.float32), 1.0
+    )
+
+
+_SOBEL_BASE = np.multiply.outer(
+    np.array([1, 2, 1]), np.multiply.outer(np.array([1, 2, 1]), np.array([-1, 0, 1]))
+)
+_SOBEL_WX = _SOBEL_BASE
+_SOBEL_WY = _SOBEL_BASE.transpose(0, 2, 1)
+_SOBEL_WT = _SOBEL_BASE.transpose(2, 0, 1)
+
+
+def _flow_sobel_uphill(data, fwd, bwd, method="linear"):
+    """27-tap uphill Sobel, mapped over frames with ``lax.map`` so the
+    per-step working set is a handful of single frames (the whole-volume
+    formulation keeps ~100 (T,H,W) temporaries live and blows HBM on
+    GOES-scale windows)."""
+    offsets = [(ox, oy) for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
+    t, h, w = data.shape
+    nan_frame = jnp.full((1, h, w), jnp.nan, dtype=data.dtype)
+    padded = jnp.concatenate([nan_frame, data, nan_frame], axis=0)
+
+    def one_frame(i):
+        prev = jax.lax.dynamic_index_in_dim(padded, i, keepdims=False)
+        cur = jax.lax.dynamic_index_in_dim(padded, i + 1, keepdims=False)
+        nxt = jax.lax.dynamic_index_in_dim(padded, i + 2, keepdims=False)
+        bw = jax.lax.dynamic_index_in_dim(bwd, i, keepdims=False)
+        fw = jax.lax.dynamic_index_in_dim(fwd, i, keepdims=False)
+
+        prev_taps = warp_plane(prev, bw, offsets, method=method, fill_value=jnp.nan)
+        same_taps = shift_plane(cur, offsets, fill_value=jnp.nan)
+        next_taps = warp_plane(nxt, fw, offsets, method=method, fill_value=jnp.nan)
+
+        gx = jnp.zeros((h, w), data.dtype)
+        gy = jnp.zeros((h, w), data.dtype)
+        gt = jnp.zeros((h, w), data.dtype)
+        for pi, taps in enumerate((prev_taps, same_taps, next_taps)):
+            for oi, (ox, oy) in enumerate(offsets):
+                rect = jnp.fmax(taps[oi] - cur, 0.0)
+                rect = jnp.where(jnp.isnan(rect), 0.0, rect)
+                gx = gx + float(_SOBEL_WX[pi, oy + 1, ox + 1]) * rect
+                gy = gy + float(_SOBEL_WY[pi, oy + 1, ox + 1]) * rect
+                gt = gt + float(_SOBEL_WT[pi, oy + 1, ox + 1]) * rect
+        return jnp.sqrt(gx * gx + gy * gy + gt * gt)
+
+    return jax.lax.map(one_frame, jnp.arange(t))
+
+
+@functools.partial(jax.jit, static_argnames=("params", "ws_iters"))
+def fused_flow_watershed(bt, dt_minutes, params=None, ws_iters=128):
+    """bt (T, H, W) on device -> (flow, growth, edges, watershed labels).
+
+    The benchmark workload: everything stays in HBM; only summaries need
+    transferring back.
+    """
+    fwd, bwd = device_flow(bt, params)
+    growth = -_flow_diff(bt, fwd, bwd) / dt_minutes
+    field = jnp.clip((260.0 - bt) / 10.0, 0.0, 1.0)
+    edges = _flow_sobel_uphill(field, fwd, bwd, method="cubic")
+    edges = jnp.where(edges > 0, edges + 1.0, edges) - field
+    markers = (field >= 1.0).astype(jnp.int32)
+    mask = field > 0.05
+    taps = _structure_taps_3d(connectivity_structure(1))
+    labels = _watershed_device(
+        jnp.where(jnp.isnan(edges), jnp.inf, edges),
+        markers,
+        mask,
+        jnp.round(fwd).astype(jnp.int32),
+        jnp.round(bwd).astype(jnp.int32),
+        taps,
+        ws_iters,
+    )
+    return fwd, growth, edges, labels
+
+
+def device_detect_fields(bt, wvd, swd, dt_minutes, params=None):
+    """Fused device computation of the detection fields used by
+    ``detect_cores`` (growth rates + filters are host-composed on top)."""
+    fwd, bwd = device_flow(bt, params)
+    bt_growth = -_flow_diff(bt, fwd, bwd, method="cubic") / dt_minutes
+    wvd_growth = _flow_diff(wvd, fwd, bwd, method="cubic") / dt_minutes
+    return fwd, bwd, bt_growth, wvd_growth

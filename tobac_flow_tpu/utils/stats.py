@@ -199,6 +199,9 @@ def groupby_apply(func, groups, *fields, index=None, default=np.nan):
             out.append(func(*[f[pos] for f in fields]))
         else:
             out.append(default)
+    if not out and fields:
+        # empty index: keep the field dtype so downstream comparisons work
+        return np.asarray(out, dtype=fields[0].dtype)
     return np.asarray(out)
 
 
