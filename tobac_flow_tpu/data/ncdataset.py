@@ -292,6 +292,15 @@ class Dataset:
             for d, size in dim_sizes.items():
                 if d in self.coords:
                     vals = self.coords[d]
+                    if vals.dtype.kind in "UO":
+                        ds = f.create_dataset(
+                            d,
+                            data=np.asarray(
+                                [str(v) for v in vals], dtype=h5py.string_dtype()
+                            ),
+                        )
+                        ds.make_scale(d)
+                        continue
                     if _is_time(vals):
                         data = (
                             (vals.astype("datetime64[ns]") - _EPOCH)
@@ -376,8 +385,27 @@ def open_dataset(path):
             units = obj.attrs.get("units")
             if isinstance(units, bytes):
                 units = units.decode()
+            # CF packed-data decoding (scale_factor/add_offset/_FillValue),
+            # as netCDF tools write it (e.g. GOES L1b/L2 products)
+            scale = obj.attrs.get("scale_factor")
+            offset = obj.attrs.get("add_offset")
+            fill = obj.attrs.get("_FillValue")
+            if scale is not None or offset is not None:
+                vals = np.asarray(vals, dtype=np.float64)
+                if fill is not None:
+                    vals = np.where(vals == np.float64(np.asarray(fill)), np.nan, vals)
+                vals = vals * (
+                    np.float64(np.asarray(scale)) if scale is not None else 1.0
+                ) + (np.float64(np.asarray(offset)) if offset is not None else 0.0)
+                vals = vals.astype(np.float32)
+            elif fill is not None and np.issubdtype(np.asarray(vals).dtype, np.floating):
+                vals = np.where(vals == np.asarray(fill), np.nan, vals)
             if isinstance(units, str) and units.startswith("seconds since 1970"):
                 vals = _EPOCH + (np.asarray(vals) * 1e9).astype("timedelta64[ns]")
+            elif isinstance(units, str) and units.startswith("seconds since 2000-01-01 12:00"):
+                # GOES-R J2000 epoch
+                j2000 = np.datetime64("2000-01-01T12:00:00", "ns")
+                vals = j2000 + (np.asarray(vals) * 1e9).astype("timedelta64[ns]")
             if vals.dtype.kind == "O":
                 vals = np.asarray(
                     [x.decode() if isinstance(x, bytes) else x for x in vals.ravel()]

@@ -97,26 +97,42 @@ def _watershed_device(field, markers, mask, fwd_int, bwd_int, taps, max_iters):
 
     big_label = jnp.int32(np.iinfo(np.int32).max)
 
+    def shift3(arrs, dy, dx, fills):
+        """Static in-plane shift of a tuple of (T,H,W) arrays (no gather)."""
+        outs = []
+        for a, fill in zip(arrs, fills):
+            padded = jnp.pad(
+                a,
+                ((0, 0), (abs(dy), abs(dy)), (abs(dx), abs(dx))),
+                constant_values=fill,
+            )
+            outs.append(
+                jax.lax.dynamic_slice(
+                    padded, (0, abs(dy) + dy, abs(dx) + dx), (t, h, w)
+                )
+            )
+        return outs
+
     def sweep(state):
         claim, hops, label = state
         cost = jnp.where(seeded, field, jnp.maximum(field, claim))
         best_c, best_h, best_l = claim, hops, label
         for dt, dy, dx in taps:
             if dt == 0:
-                tq = ti
-                yq = yi + dy
-                xq = xi + dx
-            elif dt == -1:
-                tq = ti - 1
-                yq = yi + bwd_int[..., 1] + dy
-                xq = xi + bwd_int[..., 0] + dx
+                # in-plane neighbours: static shifts, no gather needed
+                cq, hq, lq = shift3((cost, hops, label), dy, dx, (_INF, 0, 0))
             else:
-                tq = ti + 1
-                yq = yi + fwd_int[..., 1] + dy
-                xq = xi + fwd_int[..., 0] + dx
-            cq, hq, lq = _gather_3d(
-                (cost, hops, label), tq, yq, xq, t, h, w, (_INF, 0, 0)
-            )
+                if dt == -1:
+                    tq = ti - 1
+                    yq = yi + bwd_int[..., 1] + dy
+                    xq = xi + bwd_int[..., 0] + dx
+                else:
+                    tq = ti + 1
+                    yq = yi + fwd_int[..., 1] + dy
+                    xq = xi + fwd_int[..., 0] + dx
+                cq, hq, lq = _gather_3d(
+                    (cost, hops, label), tq, yq, xq, t, h, w, (_INF, 0, 0)
+                )
             cand_h = jnp.minimum(hq + 1, big_hops - 1)
             cand_l = lq
             valid = lq != 0  # unlabeled / out-of-bounds sources never compete
