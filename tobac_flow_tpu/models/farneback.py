@@ -49,6 +49,7 @@ class FarnebackParams:
         num_iters: int = 10,
         poly_n: int = 5,
         poly_sigma: float = 1.1,
+        resamples: int = 5,
     ):
         self.num_levels = num_levels
         self.pyr_scale = pyr_scale
@@ -56,6 +57,10 @@ class FarnebackParams:
         self.num_iters = num_iters
         self.poly_n = poly_n
         self.poly_sigma = poly_sigma
+        # number of times per level the target expansion is re-warped; the
+        # remaining iterations re-solve against the frozen warp (gathers are
+        # ~200x elementwise on TPU, box blurs are cumsum-cheap)
+        self.resamples = resamples
 
     def _key(self):
         return (
@@ -65,6 +70,7 @@ class FarnebackParams:
             self.num_iters,
             self.poly_n,
             self.poly_sigma,
+            self.resamples,
         )
 
     def __hash__(self):
@@ -195,16 +201,22 @@ def _box_blur(img, winsize):
     return box1d(box1d(img, -2), -1)
 
 
-def _update_flow(b1, A1, R2, flow, winsize, num_iters):
-    """Iterative displacement refinement at one pyramid level."""
+def _update_flow(b1, A1, R2, flow, winsize, num_iters, resamples=None):
+    """Iterative displacement refinement at one pyramid level.
+
+    The target expansion R2 is re-warped ``resamples`` times; between
+    re-warps the remaining iterations re-solve the window-aggregated normal
+    equations against the frozen warp (pure box blurs + elementwise — no
+    gathers).  ``resamples == num_iters`` reproduces the warp-every-iteration
+    scheme exactly."""
+    if resamples is None:
+        resamples = num_iters
+    resamples = max(1, min(resamples, num_iters))
     h, w = b1.shape[:2]
     gx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     gy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
 
-    def body(_, flow):
-        samp = _bilinear_sample_clamped(R2, gx + flow[..., 0], gy + flow[..., 1])
-        b2w = samp[..., 0:2]
-        A2w = samp[..., 2:5]
+    def solve(b2w, A2w, flow):
         axx = 0.5 * (A1[..., 0] + A2w[..., 0])
         ayy = 0.5 * (A1[..., 1] + A2w[..., 1])
         axy = 0.25 * (A1[..., 2] + A2w[..., 2])  # off-diagonal of A
@@ -226,7 +238,15 @@ def _update_flow(b1, A1, R2, flow, winsize, num_iters):
         new = jnp.stack([dx, dy], axis=-1)
         return jnp.where(safe[..., None], new, flow)
 
-    return jax.lax.fori_loop(0, num_iters, body, flow)
+    # NOTE: with a frozen warp the linear solve is exact, so repeated inner
+    # solves just re-add the same correction (divergent); every solve must be
+    # preceded by a re-warp.  ``resamples`` therefore caps the number of
+    # warp+solve rounds actually run.
+    def body(_, flow):
+        samp = _bilinear_sample_clamped(R2, gx + flow[..., 0], gy + flow[..., 1])
+        return solve(samp[..., 0:2], samp[..., 2:5], flow)
+
+    return jax.lax.fori_loop(0, min(resamples, num_iters), body, flow)
 
 
 def _gauss_blur(img, sigma):
@@ -278,5 +298,7 @@ def farneback_pair(prev, nxt, params: FarnebackParams = None):
                 jax.image.resize(flow, (hk, wk, 2), method="linear")
                 / params.pyr_scale
             )
-        flow = _update_flow(b1, A1, R2, flow, params.winsize, params.num_iters)
+        flow = _update_flow(
+            b1, A1, R2, flow, params.winsize, params.num_iters, params.resamples
+        )
     return flow

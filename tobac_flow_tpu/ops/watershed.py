@@ -113,11 +113,13 @@ def _watershed_device(field, markers, mask, fwd_int, bwd_int, taps, max_iters):
             )
         return outs
 
-    def sweep(state):
+    def sweep(state, include_temporal=True):
         claim, hops, label = state
         cost = jnp.where(seeded, field, jnp.maximum(field, claim))
         best_c, best_h, best_l = claim, hops, label
         for dt, dy, dx in taps:
+            if dt != 0 and not include_temporal:
+                continue
             if dt == 0:
                 # in-plane neighbours: static shifts, no gather needed
                 cq, hq, lq = shift3((cost, hops, label), dy, dx, (_INF, 0, 0))
@@ -159,7 +161,12 @@ def _watershed_device(field, markers, mask, fwd_int, bwd_int, taps, max_iters):
 
     def body(carry):
         state, _, it = carry
-        new = sweep(state)
+        # one flow-displaced temporal+spatial sweep (2 gathers), then several
+        # spatial-only sweeps (pure shifts) — most flooding is in-plane, so
+        # this amortises the expensive temporal gathers
+        new = sweep(state, include_temporal=True)
+        for _ in range(3):
+            new = sweep(new, include_temporal=False)
         changed = (
             jnp.any(new[2] != state[2])
             | jnp.any(new[0] != state[0])
