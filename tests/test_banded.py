@@ -1,0 +1,78 @@
+"""Banded-shift gather vs the exact gather path."""
+
+import numpy as np
+import pytest
+
+from tobac_flow_tpu.ops.banded import (
+    banded_gather_axis,
+    banded_warp_axis,
+    warp_banded,
+)
+from tobac_flow_tpu.ops.warp import warp_plane
+
+
+def test_banded_integer_gather_axis():
+    rng = np.random.default_rng(0)
+    img = rng.random((3, 12, 16)).astype(np.float32)
+    disp = rng.integers(-4, 5, img.shape).astype(np.int32)
+    out = np.asarray(banded_gather_axis(img, disp, -1, 4, fill_value=np.nan))
+    for t in range(3):
+        for y in range(12):
+            for x in range(16):
+                sx = x + disp[t, y, x]
+                if 0 <= sx < 16:
+                    assert out[t, y, x] == img[t, y, sx]
+                else:
+                    assert np.isnan(out[t, y, x])
+
+
+def test_banded_warp_axis_linear():
+    img = np.arange(20, dtype=np.float32).reshape(4, 5)
+    disp = np.full((4, 5), 0.5, np.float32)
+    out = np.asarray(banded_warp_axis(img, disp, -1, 2))
+    assert np.allclose(out[:, :4], img[:, :4] + 0.5)
+    assert np.all(np.isnan(out[:, 4]))
+
+
+def test_warp_banded_matches_exact_constant_flow():
+    rng = np.random.default_rng(1)
+    img = rng.random((24, 32)).astype(np.float32)
+    flow = np.zeros((24, 32, 2), np.float32)
+    flow[..., 0] = 2.25
+    flow[..., 1] = -1.5
+    exact = np.asarray(warp_plane(img, flow, [(0, 0)], method="linear"))[0]
+    band = np.asarray(warp_banded(img, flow, radius=4, method="linear"))
+    both = np.isfinite(exact) & np.isfinite(band)
+    assert np.allclose(exact[both], band[both], atol=1e-5)
+    # fill regions agree
+    assert np.array_equal(np.isfinite(exact), np.isfinite(band))
+
+
+def test_warp_banded_smooth_flow_close_to_exact():
+    # the two-pass approximation's value error is bounded by
+    # |∂dy/∂x|·|dx| · |∇img| — meaningful only for smooth images and smooth
+    # flow, which is exactly the regime the pipeline warps in (BT fields +
+    # box-filtered Farneback flow)
+    h, w = 40, 48
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = (np.sin(xx / 5) * np.cos(yy / 7) * 10).astype(np.float32)
+    flow = np.stack(
+        [2 * np.sin(yy / 15) + 1.0, np.cos(xx / 20) - 0.5], axis=-1
+    ).astype(np.float32)
+    exact = np.asarray(warp_plane(img, flow, [(0, 0)], method="linear"))[0]
+    band = np.asarray(warp_banded(img, flow, radius=4, method="linear"))
+    both = np.isfinite(exact) & np.isfinite(band)
+    close = np.isclose(exact[both], band[both], atol=0.3)
+    assert close.mean() > 0.98
+
+
+def test_warp_banded_nearest_int_labels():
+    labels = np.arange(30, dtype=np.int32).reshape(5, 6)
+    flow = np.zeros((5, 6, 2), np.float32)
+    flow[..., 0] = 1.0
+    out = np.asarray(
+        warp_banded(labels, flow, radius=2, method="nearest", fill_value=0)
+    )
+    assert out.dtype == labels.dtype
+    assert np.array_equal(out[:, :5], labels[:, 1:])
+    assert np.all(out[:, 5] == 0)

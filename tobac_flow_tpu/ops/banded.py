@@ -1,0 +1,133 @@
+"""Banded-shift gather: TPU-fast warping for bounded displacements.
+
+XLA's general gather lowers to a pathologically slow path on TPU (measured
+~200-500x elementwise cost), and Mosaic/Pallas has no per-element gather.
+But every flow-displaced access in this pipeline is bounded: flow vectors are
+clipped to ±20 px (reference ``flow.py:60-61``).  A bounded gather can be
+written as a sum over the 2R+1 possible integer shifts of
+
+    out[p] = Σ_s  (disp(p) == s) · img[p + s]
+
+— static dynamic-slices plus masked adds, which the VPU eats at near-memory
+bandwidth.  2D warps run as two 1D passes (y then x); the x-pass evaluates
+the y-displacement at the shifted column, an error bounded by
+|∂dy/∂x| · |dx| ≪ 1 px for the smoothed flow fields this framework warps
+with.  The exact-gather path (``ops/warp.py``) remains for parity testing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["banded_gather_axis", "banded_warp_axis", "warp_banded", "warp_banded_multi"]
+
+
+def _axis_pad(img, axis, pad, fill, pad_mode="constant"):
+    pads = [(0, 0)] * img.ndim
+    pads[axis] = (pad, pad)
+    if pad_mode == "edge":
+        return jnp.pad(img, pads, mode="edge")
+    return jnp.pad(img, pads, constant_values=fill)
+
+
+def banded_gather_axis(img, idisp, axis, radius, fill_value=0.0, pad_mode="constant"):
+    """Integer-displacement gather along one axis.
+
+    out[p] = img[p + idisp(p) ê_axis], with idisp clipped to ±radius and
+    out-of-range source positions reading ``fill_value`` (or the clamped edge
+    sample with pad_mode="edge").
+    """
+    axis = axis % img.ndim
+    radius = int(radius)
+    idisp = jnp.clip(idisp, -radius, radius)
+    padded = _axis_pad(img, axis, radius, fill_value, pad_mode)
+    size = list(img.shape)
+
+    def body(k, acc):
+        # k in [0, 2R]: displacement s = k - R; slice start along axis = k
+        starts = [0] * img.ndim
+        starts[axis] = k
+        shifted = jax.lax.dynamic_slice(padded, starts, size)
+        return jnp.where(idisp == (k - radius), shifted, acc)
+
+    init = jnp.full(img.shape, fill_value, dtype=img.dtype)
+    return jax.lax.fori_loop(0, 2 * radius + 1, body, init)
+
+
+def banded_warp_axis(img, disp, axis, radius, fill_value=jnp.nan, pad_mode="constant"):
+    """Linear-interpolation warp along one axis for fractional displacement.
+
+    out[p] = (1-f)·img[p + ⌊d⌋] + f·img[p + ⌊d⌋ + 1]; source positions
+    outside ±radius (or off the padded edge) read ``fill_value`` (or clamp
+    with pad_mode="edge"); zero-weight taps are masked so exact-integer
+    displacements stay exact.
+    """
+    axis = axis % img.ndim
+    radius = int(radius)
+    disp = jnp.clip(disp, -float(radius), float(radius))
+    lo = jnp.floor(disp)
+    frac = (disp - lo).astype(img.dtype)
+    ilo = lo.astype(jnp.int32)
+    padded = _axis_pad(img, axis, radius + 1, fill_value, pad_mode)
+    size = list(img.shape)
+
+    def body(k, acc):
+        s = k - radius  # displacement of the floor tap
+        starts = [0] * img.ndim
+        starts[axis] = k + 1  # account for the radius+1 padding
+        tap0 = jax.lax.dynamic_slice(padded, starts, size)
+        starts[axis] = k + 2
+        tap1 = jax.lax.dynamic_slice(padded, starts, size)
+        w0 = 1.0 - frac
+        val = jnp.where(w0 == 0, 0.0, w0 * tap0) + jnp.where(
+            frac == 0, 0.0, frac * tap1
+        )
+        return jnp.where(ilo == s, val, acc)
+
+    init = jnp.full(img.shape, fill_value, dtype=img.dtype)
+    return jax.lax.fori_loop(0, 2 * radius + 1, body, init)
+
+
+def warp_banded(img, flow, radius=20, method="linear", fill_value=jnp.nan, pad_mode="constant"):
+    """Two-pass banded 2D warp of (..., H, W) by flow (..., H, W, 2)
+    (channel 0 = x displacement, 1 = y).
+
+    nearest: both passes are integer gathers on rounded displacements.
+    linear: both passes interpolate linearly (separable bilinear).
+    """
+    dy = flow[..., 1]
+    dx = flow[..., 0]
+    if method == "nearest":
+        a = banded_gather_axis(
+            img, jnp.round(dy).astype(jnp.int32), -2, radius, fill_value, pad_mode
+        )
+        return banded_gather_axis(
+            a, jnp.round(dx).astype(jnp.int32), -1, radius, fill_value, pad_mode
+        )
+    if method == "linear":
+        a = banded_warp_axis(img, dy, -2, radius, fill_value, pad_mode)
+        return banded_warp_axis(a, dx, -1, radius, fill_value, pad_mode)
+    raise ValueError("method must be 'nearest' or 'linear'")
+
+
+def warp_banded_multi(channels, flow, radius=20, method="linear", fill_value=jnp.nan):
+    """Warp a stack of same-shaped fields (C, ..., H, W) by one flow field —
+    the displacement masks are shared so the per-band cost is amortised."""
+    stacked = jnp.stack(channels, axis=0) if isinstance(channels, (list, tuple)) else channels
+    # flow identical across the channel axis; warp the stack in one pass
+    dy = flow[..., 1]
+    dx = flow[..., 0]
+    dy = jnp.broadcast_to(dy, stacked.shape)
+    dx = jnp.broadcast_to(dx, stacked.shape)
+    if method == "nearest":
+        a = banded_gather_axis(
+            stacked, jnp.round(dy).astype(jnp.int32), -2, radius, fill_value
+        )
+        return banded_gather_axis(
+            a, jnp.round(dx).astype(jnp.int32), -1, radius, fill_value
+        )
+    a = banded_warp_axis(stacked, dy, -2, radius, fill_value)
+    return banded_warp_axis(a, dx, -1, radius, fill_value)

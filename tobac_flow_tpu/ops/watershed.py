@@ -5,24 +5,27 @@ Reference behaviour: ``tobac_flow/watershed.py`` + ``tobac_flow/_watershed.pyx``
 neighbour offsets are displaced by the per-pixel rounded flow vectors.
 
 The serial heap is inherently sequential, so the TPU implementation solves the
-equivalent *minimax-path* formulation with data-parallel Jacobi iteration:
+equivalent *minimax-path* formulation with data-parallel Jacobi sweeps:
 
-  cost(p)  = min over neighbours q of max(cost(q), field(p)),   cost(marker) = field(marker)
-  label(p) = label of the lexicographic argmin (cost, hops, label)
+  claim(p)  = min over neighbours q of cost(q),  cost(q) = max(field(q), claim(q))
+  label(p)  = label of the lexicographic argmin (claim, hops, label)
 
-where ``hops`` counts propagation steps and approximates the heap's
-age-based tie-breaking on plateaus (earlier-reached wins).  Each sweep is a
-handful of static shifts plus two flow-displaced gathers; sweeps run inside a
-``lax.while_loop`` until a fixed point.
+where ``hops`` counts propagation steps and approximates the heap's age-based
+tie-breaking on plateaus.  Each sweep uses
+
+  * static shifts for the in-plane taps (no gathers at all), and
+  * banded-shift gathers (``ops/banded.py``) for the flow-displaced temporal
+    taps — flow is clipped to ±20 px so the 2R+1 masked shifts replace XLA's
+    pathologically slow general gather.
+
+Sweeps run in fixed-size device chunks with host-side convergence checks
+(one long while_loop trips the remote worker's watchdog at GOES scale).
 
 One deliberate difference from the serial kernel: temporal neighbours are
-found by *pulling* along the flow at the destination (t−1 neighbour of p is
-``p + round(backward_flow(p))``), whereas the heap *pushes* along the flow at
-the source.  These coincide exactly for zero flow and agree wherever the
-forward/backward fields are consistent (the same adjoint approximation the
-reference's own label-linking makes, ``label.py:133-137``).  Equivalence with
-the push-semantics heap is tested against the native C++ oracle
-(``tobac_flow_tpu/native``) at IoU ≥ 0.99 and exactly for zero flow.
+*pulled* along the flow at the destination rather than *pushed* along the
+source flow — the same adjoint approximation the reference's own label
+linking makes (``label.py:133-137``).  Equivalence is tested against the
+native C++ heap oracle (``tobac_flow_tpu/native``).
 """
 
 from __future__ import annotations
@@ -32,6 +35,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from tobac_flow_tpu.ops.banded import banded_gather_axis
 
 __all__ = ["watershed"]
 
@@ -61,44 +66,42 @@ def _structure_taps_3d(structure):
     return tuple(taps)
 
 
-def _gather_3d(arrs, ti, yi, xi, t, h, w, oob_fill):
-    """Gather a tuple of (T,H,W) arrays at integer coordinate arrays with
-    out-of-bounds handling."""
-    inb = (ti >= 0) & (ti < t) & (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-    flat = jnp.where(inb, (ti * h + yi) * w + xi, 0)
+def _shift_t(arr, dt, fill):
+    """arr[t + dt] with constant fill at the sequence ends."""
+    t = arr.shape[0]
+    fill_frame = jnp.full((1,) + arr.shape[1:], fill, dtype=arr.dtype)
+    if dt == 1:
+        return jnp.concatenate([arr[1:], fill_frame], axis=0)
+    return jnp.concatenate([fill_frame, arr[:-1]], axis=0)
+
+
+def _banded_pull(arrs, fills, disp_y, disp_x, radius):
+    """2D banded gather of several same-shaped arrays by one displacement."""
     outs = []
-    for a, fill in zip(arrs, oob_fill):
-        v = jnp.take(a.reshape(-1), flat.reshape(-1), axis=0).reshape(a.shape)
-        outs.append(jnp.where(inb, v, fill))
+    for a, fill in zip(arrs, fills):
+        g = banded_gather_axis(a, disp_y, -2, radius, fill)
+        outs.append(banded_gather_axis(g, disp_x, -1, radius, fill))
     return outs
 
 
-@functools.partial(jax.jit, static_argnames=("taps", "max_iters"))
-def _watershed_device(field, markers, mask, fwd_int, bwd_int, taps, max_iters):
+@functools.partial(
+    jax.jit, static_argnames=("taps", "radius", "n_iters", "spatial_per_temporal")
+)
+def _watershed_sweeps(
+    field, markers, mask, fwd_int, bwd_int, state, taps, radius, n_iters,
+    spatial_per_temporal=3,
+):
+    """Run up to n_iters sweep rounds; returns (state, rounds_used)."""
     t, h, w = field.shape
-    ti = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 0)
-    yi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 1)
-    xi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 2)
-
     seeded = markers != 0
     floodable = mask & ~seeded
-
-    # Heap semantics being reproduced: a pixel p is claimed (label-at-push)
-    # by the neighbour q that POPS first, i.e. argmin over q of
-    # (cost(q), age) where cost(q) = q's own flood level.  p's own flood
-    # level then becomes max(field(p), cost(q*)).  So the per-pixel state is
-    # the claiming neighbour's cost ("claim"), and p's cost is derived.
-    # Unlabeled pixels carry a sentinel-large hop count so flooding can
-    # cross +inf plateaus (the serial heap also pops inf-valued pixels, last).
     big_hops = jnp.int32(1 << 30)
-    claim0 = jnp.where(seeded, jnp.float32(-np.inf), _INF)
-    hops0 = jnp.where(seeded, 0, big_hops).astype(jnp.int32)
-    label0 = markers
-
     big_label = jnp.int32(np.iinfo(np.int32).max)
 
+    in_plane = tuple((dy, dx) for dt, dy, dx in taps if dt == 0)
+    temporal = tuple((dt, dy, dx) for dt, dy, dx in taps if dt != 0)
+
     def shift3(arrs, dy, dx, fills):
-        """Static in-plane shift of a tuple of (T,H,W) arrays (no gather)."""
         outs = []
         for a, fill in zip(arrs, fills):
             padded = jnp.pad(
@@ -113,71 +116,71 @@ def _watershed_device(field, markers, mask, fwd_int, bwd_int, taps, max_iters):
             )
         return outs
 
-    def sweep(state, include_temporal=True):
+    def consider(best, cq, hq, lq):
+        bc, bh, bl = best
+        cand_h = jnp.minimum(hq + 1, big_hops - 1)
+        valid = lq != 0
+        better = cq < bc
+        tie_c = cq == bc
+        better = better | (tie_c & (cand_h < bh))
+        tie_h = tie_c & (cand_h == bh)
+        key = lambda l: jnp.where(l == 0, big_label, l)
+        better = (better | (tie_h & (key(lq) < key(bl)))) & valid
+        return (
+            jnp.where(better, cq, bc),
+            jnp.where(better, cand_h, bh),
+            jnp.where(better, lq, bl),
+        )
+
+    def sweep(state, include_temporal):
         claim, hops, label = state
         cost = jnp.where(seeded, field, jnp.maximum(field, claim))
-        best_c, best_h, best_l = claim, hops, label
-        for dt, dy, dx in taps:
-            if dt != 0 and not include_temporal:
-                continue
-            if dt == 0:
-                # in-plane neighbours: static shifts, no gather needed
-                cq, hq, lq = shift3((cost, hops, label), dy, dx, (_INF, 0, 0))
-            else:
-                if dt == -1:
-                    tq = ti - 1
-                    yq = yi + bwd_int[..., 1] + dy
-                    xq = xi + bwd_int[..., 0] + dx
-                else:
-                    tq = ti + 1
-                    yq = yi + fwd_int[..., 1] + dy
-                    xq = xi + fwd_int[..., 0] + dx
-                cq, hq, lq = _gather_3d(
-                    (cost, hops, label), tq, yq, xq, t, h, w, (_INF, 0, 0)
+        best = (claim, hops, label)
+        for dy, dx in in_plane:
+            cq, hq, lq = shift3((cost, hops, label), dy, dx, (_INF, 0, 0))
+            best = consider(best, cq, hq, lq)
+        if include_temporal:
+            for dt, dy, dx in temporal:
+                flow_i = fwd_int if dt == 1 else bwd_int
+                cs, hs, ls = (
+                    _shift_t(cost, dt, _INF),
+                    _shift_t(hops, dt, 0),
+                    _shift_t(label, dt, 0),
                 )
-            cand_h = jnp.minimum(hq + 1, big_hops - 1)
-            cand_l = lq
-            valid = lq != 0  # unlabeled / out-of-bounds sources never compete
-            # lexicographic (claim cost, hops, label); the hop count stands in
-            # for the heap's push age on equal-cost fronts, label id breaks
-            # exact ties deterministically (0 ordered last via a max view)
-            better = cq < best_c
-            tie_c = cq == best_c
-            better = better | (tie_c & (cand_h < best_h))
-            tie_h = tie_c & (cand_h == best_h)
-            key = lambda l: jnp.where(l == 0, big_label, l)
-            better = (better | (tie_h & (key(cand_l) < key(best_l)))) & valid
-            best_c = jnp.where(better, cq, best_c)
-            best_h = jnp.where(better, cand_h, best_h)
-            best_l = jnp.where(better, cand_l, best_l)
-        new_claim = jnp.where(floodable, best_c, claim)
-        new_hops = jnp.where(floodable, best_h, hops)
-        new_label = jnp.where(floodable, best_l, label)
-        return new_claim, new_hops, new_label
+                cq, hq, lq = _banded_pull(
+                    (cs, hs, ls),
+                    (_INF, 0, 0),
+                    flow_i[..., 1] + dy,
+                    flow_i[..., 0] + dx,
+                    radius,
+                )
+                best = consider(best, cq, hq, lq)
+        return (
+            jnp.where(floodable, best[0], claim),
+            jnp.where(floodable, best[1], hops),
+            jnp.where(floodable, best[2], label),
+        )
 
     def cond(carry):
-        state, changed, it = carry
-        return jnp.logical_and(changed, it < max_iters)
+        _, changed, it = carry
+        return jnp.logical_and(changed, it < n_iters)
 
     def body(carry):
         state, _, it = carry
-        # one flow-displaced temporal+spatial sweep (2 gathers), then several
-        # spatial-only sweeps (pure shifts) — most flooding is in-plane, so
-        # this amortises the expensive temporal gathers
-        new = sweep(state, include_temporal=True)
-        for _ in range(3):
-            new = sweep(new, include_temporal=False)
+        new = sweep(state, True)
+        for _ in range(spatial_per_temporal):
+            new = sweep(new, False)
         changed = (
-            jnp.any(new[2] != state[2])
-            | jnp.any(new[0] != state[0])
+            jnp.any(new[0] != state[0])
             | jnp.any(new[1] != state[1])
+            | jnp.any(new[2] != state[2])
         )
         return new, changed, it + 1
 
-    (claim, hops, label), _, _ = jax.lax.while_loop(
-        cond, body, ((claim0, hops0, label0), jnp.bool_(True), jnp.int32(0))
+    state, changed, used = jax.lax.while_loop(
+        cond, body, (state, jnp.bool_(True), jnp.int32(0))
     )
-    return jnp.where(seeded | (mask & (label != 0)), label, 0)
+    return state, used
 
 
 def watershed(
@@ -188,6 +191,8 @@ def watershed(
     mask=None,
     connectivity=1,
     max_iters: int | None = None,
+    chunk_iters: int = 16,
+    radius: int = 20,
 ):
     """Watershed segmentation of a (T, H, W) sequence in the moving frame
     (API parity: reference ``watershed.py:17-168``).
@@ -200,7 +205,10 @@ def watershed(
         be removed by the caller afterwards (reference ``detection.py:570``).
     mask : optional bool array; False pixels are never flooded.
     connectivity : int (1..3) or explicit (3,3,3) structuring element.
-    max_iters : sweep cap; defaults to T + H + W + 32.
+    max_iters : total sweep-round cap; defaults to T + H + W + 32.
+    chunk_iters : sweep rounds per device dispatch (long single programs trip
+        remote-worker watchdogs; convergence is checked between chunks).
+    radius : flow clip radius for the banded temporal gathers.
     """
     field = np.asarray(getattr(field, "values", field), dtype=np.float32)
     markers = np.asarray(getattr(markers, "values", markers))
@@ -216,8 +224,8 @@ def watershed(
         mask_arr = np.asarray(getattr(mask, "values", mask)).astype(bool)
         if mask_arr.shape != field.shape:
             raise ValueError(
-                f"`mask` (shape {mask_arr.shape}) must have same shape as "
-                f"`image` (shape {field.shape})"
+                f"`mask` (shape {mask_arr.shape}) must have same shape "
+                f"as `image` (shape {field.shape})"
             )
     structure = connectivity_structure(connectivity)
     taps = _structure_taps_3d(structure)
@@ -225,16 +233,29 @@ def watershed(
         max_iters = int(sum(field.shape)) + 32
 
     field_j = jnp.asarray(np.where(np.isnan(field), np.inf, field))
+    markers_j = jnp.asarray(markers)
+    mask_j = jnp.asarray(mask_arr)
     fwd_int = jnp.asarray(np.round(np.asarray(forward_flow)).astype(np.int32))
     bwd_int = jnp.asarray(np.round(np.asarray(backward_flow)).astype(np.int32))
 
-    out = _watershed_device(
-        field_j,
-        jnp.asarray(markers),
-        jnp.asarray(mask_arr),
-        fwd_int,
-        bwd_int,
-        taps,
-        max_iters,
+    seeded = markers != 0
+    state = (
+        jnp.asarray(np.where(seeded, -np.inf, np.inf).astype(np.float32)),
+        jnp.asarray(np.where(seeded, 0, 1 << 30).astype(np.int32)),
+        markers_j,
     )
-    return np.array(out)  # writable host copy
+
+    done = 0
+    while done < max_iters:
+        n = min(chunk_iters, max_iters - done)
+        state, used = _watershed_sweeps(
+            field_j, markers_j, mask_j, fwd_int, bwd_int, state, taps, radius, n
+        )
+        used = int(used)
+        done += used
+        if used < n:  # converged inside the chunk
+            break
+
+    label = state[2]
+    out = jnp.where((markers_j != 0) | (mask_j & (label != 0)), label, 0)
+    return np.array(out)

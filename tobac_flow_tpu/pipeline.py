@@ -16,12 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from tobac_flow_tpu.models.farneback import FarnebackParams, farneback_pair
+from tobac_flow_tpu.ops.banded import warp_banded
 from tobac_flow_tpu.ops.warp import shift_plane, warp_plane
-from tobac_flow_tpu.ops.watershed import (
-    _structure_taps_3d,
-    _watershed_device,
-    connectivity_structure,
-)
+from tobac_flow_tpu.ops.watershed import watershed
 
 __all__ = ["device_flow", "device_detect_fields", "fused_flow_watershed"]
 
@@ -69,31 +66,32 @@ def device_flow(data, params: FarnebackParams | None = None, max_value: float = 
     return jnp.clip(fwd, -max_value, max_value), jnp.clip(bwd, -max_value, max_value)
 
 
-def _temporal_taps(data, fwd, bwd, method, fill):
-    """Centre-tap warps of the previous/next frames."""
-    t, h, w = data.shape
-    fill_frame = jnp.full((1, h, w), fill, dtype=data.dtype)
-    prev = jnp.concatenate([fill_frame, data[:-1]], axis=0)
-    nxt = jnp.concatenate([data[1:], fill_frame], axis=0)
-    prev_tap = jax.vmap(
-        lambda im, fl: warp_plane(im, fl, [(0, 0)], method=method, fill_value=fill)[0]
-    )(prev, bwd)
-    next_tap = jax.vmap(
-        lambda im, fl: warp_plane(im, fl, [(0, 0)], method=method, fill_value=fill)[0]
-    )(nxt, fwd)
-    return prev_tap, next_tap
-
-
 def _flow_diff(data, fwd, bwd, method="linear"):
-    prev_tap, next_tap = _temporal_taps(data, fwd, bwd, method, jnp.nan)
-    f_ok = jnp.isfinite(next_tap)
-    b_ok = jnp.isfinite(prev_tap)
-    total = jnp.where(f_ok, next_tap - data, 0.0) + jnp.where(
-        b_ok, data - prev_tap, 0.0
-    )
-    return total / jnp.maximum(
-        f_ok.astype(jnp.float32) + b_ok.astype(jnp.float32), 1.0
-    )
+    """Semi-Lagrangian central difference, mapped over frames (whole-volume
+    gathers on GOES-scale stacks hit a slow XLA path; per-frame gathers via
+    lax.map run several times faster and bound the working set)."""
+    t, h, w = data.shape
+    nan_frame = jnp.full((1, h, w), jnp.nan, dtype=data.dtype)
+    padded = jnp.concatenate([nan_frame, data, nan_frame], axis=0)
+
+    def one_frame(i):
+        prev = jax.lax.dynamic_index_in_dim(padded, i, keepdims=False)
+        cur = jax.lax.dynamic_index_in_dim(padded, i + 1, keepdims=False)
+        nxt = jax.lax.dynamic_index_in_dim(padded, i + 2, keepdims=False)
+        bw = jax.lax.dynamic_index_in_dim(bwd, i, keepdims=False)
+        fw = jax.lax.dynamic_index_in_dim(fwd, i, keepdims=False)
+        prev_tap = warp_banded(prev, bw, radius=20, method="linear")
+        next_tap = warp_banded(nxt, fw, radius=20, method="linear")
+        f_ok = jnp.isfinite(next_tap)
+        b_ok = jnp.isfinite(prev_tap)
+        total = jnp.where(f_ok, next_tap - cur, 0.0) + jnp.where(
+            b_ok, cur - prev_tap, 0.0
+        )
+        return total / jnp.maximum(
+            f_ok.astype(jnp.float32) + b_ok.astype(jnp.float32), 1.0
+        )
+
+    return jax.lax.map(one_frame, jnp.arange(t))
 
 
 _SOBEL_BASE = np.multiply.outer(
@@ -129,8 +127,8 @@ def _flow_sobel_uphill(data, fwd, bwd, method="linear", approx=True):
         fw = jax.lax.dynamic_index_in_dim(fwd, i, keepdims=False)
 
         if approx:
-            prev_w = warp_plane(prev, bw, [(0, 0)], method=method, fill_value=jnp.nan)[0]
-            next_w = warp_plane(nxt, fw, [(0, 0)], method=method, fill_value=jnp.nan)[0]
+            prev_w = warp_banded(prev, bw, radius=20, method="linear")
+            next_w = warp_banded(nxt, fw, radius=20, method="linear")
             prev_taps = shift_plane(prev_w, offsets, fill_value=jnp.nan)
             next_taps = shift_plane(next_w, offsets, fill_value=jnp.nan)
         else:
@@ -153,30 +151,28 @@ def _flow_sobel_uphill(data, fwd, bwd, method="linear", approx=True):
     return jax.lax.map(one_frame, jnp.arange(t))
 
 
-@functools.partial(jax.jit, static_argnames=("params", "ws_iters"))
-def fused_flow_watershed(bt, dt_minutes, params=None, ws_iters=128):
-    """bt (T, H, W) on device -> (flow, growth, edges, watershed labels).
-
-    The benchmark workload: everything stays in HBM; only summaries need
-    transferring back.
-    """
+@functools.partial(jax.jit, static_argnames=("params",))
+def _fields_stage(bt, dt_minutes, params=None):
+    """Flow + growth + anvil edge field in one jitted device program."""
     fwd, bwd = device_flow(bt, params)
     growth = -_flow_diff(bt, fwd, bwd) / dt_minutes
     field = jnp.clip((260.0 - bt) / 10.0, 0.0, 1.0)
-    edges = _flow_sobel_uphill(field, fwd, bwd, method="cubic")
+    edges = _flow_sobel_uphill(field, fwd, bwd)
     edges = jnp.where(edges > 0, edges + 1.0, edges) - field
+    return fwd, bwd, growth, field, edges
+
+
+def fused_flow_watershed(bt, dt_minutes, params=None, ws_iters=128):
+    """bt (T, H, W) on device -> (flow, growth, edges, watershed labels).
+
+    The benchmark workload: the dense fields compile into one program; the
+    watershed runs as host-chunked sweep batches (see ops/watershed) so long
+    floods neither trip remote watchdogs nor overrun HBM.
+    """
+    fwd, bwd, growth, field, edges = _fields_stage(bt, dt_minutes, params)
     markers = (field >= 1.0).astype(jnp.int32)
     mask = field > 0.05
-    taps = _structure_taps_3d(connectivity_structure(1))
-    labels = _watershed_device(
-        jnp.where(jnp.isnan(edges), jnp.inf, edges),
-        markers,
-        mask,
-        jnp.round(fwd).astype(jnp.int32),
-        jnp.round(bwd).astype(jnp.int32),
-        taps,
-        ws_iters,
-    )
+    labels = watershed(fwd, bwd, edges, markers, mask=mask, max_iters=ws_iters)
     return fwd, growth, edges, labels
 
 
