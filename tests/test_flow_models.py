@@ -93,6 +93,19 @@ def test_calculate_flow_smoothing_passes():
     assert np.allclose(np.median(fwd[0][m][:, 0]), 1, atol=0.3)
 
 
+@pytest.mark.parametrize("shift", [(1, 0), (0, 1), (-2, -1)])
+def test_dis_recovers_shift(shift):
+    sx, sy = shift
+    blob = make_blob(64, 48)
+    stack = np.stack(
+        [np.roll(blob, (-sy, -sx), (0, 1)), blob, np.roll(blob, (sy, sx), (0, 1))]
+    )
+    fwd, bwd = models.batch_flow(stack, model="DIS")
+    m = blob_mask(blob)
+    assert np.allclose(np.median(fwd[0][m][:, 0]), sx, atol=0.3)
+    assert np.allclose(np.median(fwd[0][m][:, 1]), sy, atol=0.3)
+
+
 # --- create_flow / Flow object ---------------------------------------------
 
 

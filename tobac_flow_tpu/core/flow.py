@@ -255,6 +255,63 @@ def combine_flow(*flows) -> Flow:
     )
 
 
+def get_forward_warp(da, flow):
+    """Each frame warped one step forward along the flow
+    (reference ``flow.py:606-609``)."""
+    forward_struct = np.zeros([3, 3, 3], dtype=bool)
+    forward_struct[2, 1, 1] = True
+    data = np.asarray(getattr(da, "values", da))
+    return np.asarray(flow.convolve(data, structure=forward_struct))[0]
+
+
+def flow_diff_mse_estimate(da, flow, cold_threshold=273.0):
+    """(all-sky MSE, cold-pixel MSE) of the forward-warp residual
+    (reference ``flow.py:612-617``)."""
+    from tobac_flow_tpu.utils.stats import mse
+
+    data = np.asarray(getattr(da, "values", da))
+    warp = get_forward_warp(data, flow)
+    wh = data < cold_threshold
+    return mse(warp, data), mse(warp[wh], data[wh])
+
+
+def get_flow_residual(da, flow, model="Farneback", vr_steps=1, smoothing_passes=1):
+    """Residual flow between the data and its forward warp
+    (reference ``flow.py:620-629``)."""
+    data = np.asarray(getattr(da, "values", da))
+    warp = get_forward_warp(data, flow)
+    from tobac_flow_tpu.models import batch_flow
+
+    # pairwise flow between each frame and its warped counterpart
+    residual = np.full(data.shape + (2,), np.nan, dtype=np.float32)
+    stacked = np.stack([data, warp], axis=1)  # (T, 2, H, W)
+    for i in range(data.shape[0]):
+        f, _ = batch_flow(
+            stacked[i], model=model, vr_steps=vr_steps,
+            smoothing_passes=smoothing_passes,
+        )
+        residual[i] = f[0]
+    return residual
+
+
+def flow_residual_mse_estimate(
+    da, flow, model="Farneback", vr_steps=1, smoothing_passes=1, margin=20,
+    cold_threshold=273.0,
+):
+    """(all-sky, cold) MSE of the residual-flow magnitude inside the margin
+    (reference ``flow.py:646-657``)."""
+    from tobac_flow_tpu.utils.stats import mse
+
+    data = np.asarray(getattr(da, "values", da))
+    res = get_flow_residual(da, flow, model, vr_steps, smoothing_passes)
+    mag = np.sqrt(res[..., 0] ** 2 + res[..., 1] ** 2)[:, margin:-margin, margin:-margin]
+    wh_cold = data[:, margin:-margin, margin:-margin] < cold_threshold
+    return (
+        mse(mag, np.zeros_like(mag)),
+        mse(mag[wh_cold], np.zeros_like(mag[wh_cold])),
+    )
+
+
 def flow_magnitude(flow, direction="forward"):
     """Per-pixel magnitude of the forward or backward flow (``flow.py:632-643``)."""
     if direction == "forward":

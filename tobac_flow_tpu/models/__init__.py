@@ -31,12 +31,15 @@ __all__ = [
 _FARNEBACK = FarnebackParams()
 _FAST_FARNEBACK = FarnebackParams(num_levels=5, winsize=9, num_iters=5)
 
+def _dis_factory():
+    from tobac_flow_tpu.models.dis import DISParams, dis_pair
+
+    return functools.partial(dis_pair, params=DISParams())
+
+
 FLOW_MODELS = {
     "Farneback": lambda: functools.partial(farneback_pair, params=_FARNEBACK),
-    # DIS in the reference is a fast inverse-search model used as the test
-    # default; until the dedicated Pallas inverse-search lands, a reduced
-    # Farneback configuration provides the fast path with the same contract.
-    "DIS": lambda: functools.partial(farneback_pair, params=_FAST_FARNEBACK),
+    "DIS": _dis_factory,
     "DeepFlow": None,
     "PCA": None,
     "SimpleFlow": None,

@@ -242,9 +242,18 @@ def _update_flow(b1, A1, R2, flow, winsize, num_iters, resamples=None):
     # solves just re-add the same correction (divergent); every solve must be
     # preceded by a re-warp.  ``resamples`` therefore caps the number of
     # warp+solve rounds actually run.
+    from tobac_flow_tpu.ops.banded import warp_banded_multi
+
+    radius = int(min(20, max(h, w) // 2 + 1))
+    stack = jnp.moveaxis(R2, -1, 0)  # (5, H, W)
+
     def body(_, flow):
-        samp = _bilinear_sample_clamped(R2, gx + flow[..., 0], gy + flow[..., 1])
-        return solve(samp[..., 0:2], samp[..., 2:5], flow)
+        samp = warp_banded_multi(
+            stack, flow, radius=radius, method="linear", pad_mode="edge"
+        )
+        return solve(
+            jnp.moveaxis(samp[0:2], 0, -1), jnp.moveaxis(samp[2:5], 0, -1), flow
+        )
 
     return jax.lax.fori_loop(0, min(resamples, num_iters), body, flow)
 

@@ -113,7 +113,9 @@ def warp_banded(img, flow, radius=20, method="linear", fill_value=jnp.nan, pad_m
     raise ValueError("method must be 'nearest' or 'linear'")
 
 
-def warp_banded_multi(channels, flow, radius=20, method="linear", fill_value=jnp.nan):
+def warp_banded_multi(
+    channels, flow, radius=20, method="linear", fill_value=jnp.nan, pad_mode="constant"
+):
     """Warp a stack of same-shaped fields (C, ..., H, W) by one flow field —
     the displacement masks are shared so the per-band cost is amortised."""
     stacked = jnp.stack(channels, axis=0) if isinstance(channels, (list, tuple)) else channels
@@ -124,10 +126,10 @@ def warp_banded_multi(channels, flow, radius=20, method="linear", fill_value=jnp
     dx = jnp.broadcast_to(dx, stacked.shape)
     if method == "nearest":
         a = banded_gather_axis(
-            stacked, jnp.round(dy).astype(jnp.int32), -2, radius, fill_value
+            stacked, jnp.round(dy).astype(jnp.int32), -2, radius, fill_value, pad_mode
         )
         return banded_gather_axis(
-            a, jnp.round(dx).astype(jnp.int32), -1, radius, fill_value
+            a, jnp.round(dx).astype(jnp.int32), -1, radius, fill_value, pad_mode
         )
-    a = banded_warp_axis(stacked, dy, -2, radius, fill_value)
-    return banded_warp_axis(a, dx, -1, radius, fill_value)
+    a = banded_warp_axis(stacked, dy, -2, radius, fill_value, pad_mode)
+    return banded_warp_axis(a, dx, -1, radius, fill_value, pad_mode)
