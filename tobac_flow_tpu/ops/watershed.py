@@ -89,7 +89,7 @@ def _banded_pull(arrs, fills, disp_y, disp_x, radius):
 )
 def _watershed_sweeps(
     field, markers, mask, fwd_int, bwd_int, state, taps, radius, n_iters,
-    spatial_per_temporal=3,
+    spatial_per_temporal=8,
 ):
     """Run up to n_iters sweep rounds; returns (state, rounds_used)."""
     t, h, w = field.shape
@@ -192,7 +192,8 @@ def watershed(
     connectivity=1,
     max_iters: int | None = None,
     chunk_iters: int = 16,
-    radius: int = 20,
+    radius: int | None = None,
+    return_device: bool = False,
 ):
     """Watershed segmentation of a (T, H, W) sequence in the moving frame
     (API parity: reference ``watershed.py:17-168``).
@@ -208,40 +209,48 @@ def watershed(
     max_iters : total sweep-round cap; defaults to T + H + W + 32.
     chunk_iters : sweep rounds per device dispatch (long single programs trip
         remote-worker watchdogs; convergence is checked between chunks).
-    radius : flow clip radius for the banded temporal gathers.
+    radius : band radius for the flow-displaced temporal gathers; None
+        (default) adapts it to the actual maximum rounded flow.
     """
-    field = np.asarray(getattr(field, "values", field), dtype=np.float32)
-    markers = np.asarray(getattr(markers, "values", markers))
-    if markers.shape != field.shape:
+    # keep device arrays on device: all preprocessing is jnp (a host numpy
+    # round-trip here costs ~GBs of transfer on GOES-scale windows)
+    field_j = jnp.asarray(getattr(field, "values", field), dtype=jnp.float32)
+    markers_j = jnp.asarray(getattr(markers, "values", markers)).astype(jnp.int32)
+    if markers_j.shape != field_j.shape:
         raise ValueError(
-            f"`markers` (shape {markers.shape}) must have same shape as "
-            f"`image` (shape {field.shape})"
+            f"`markers` (shape {markers_j.shape}) must have same shape as "
+            f"`image` (shape {field_j.shape})"
         )
-    markers = markers.astype(np.int32)
     if mask is None:
-        mask_arr = np.ones(field.shape, dtype=bool)
+        mask_j = jnp.ones(field_j.shape, dtype=bool)
     else:
-        mask_arr = np.asarray(getattr(mask, "values", mask)).astype(bool)
-        if mask_arr.shape != field.shape:
+        mask_j = jnp.asarray(getattr(mask, "values", mask)).astype(bool)
+        if mask_j.shape != field_j.shape:
             raise ValueError(
-                f"`mask` (shape {mask_arr.shape}) must have same shape "
-                f"as `image` (shape {field.shape})"
+                f"`mask` (shape {mask_j.shape}) must have same shape "
+                f"as `image` (shape {field_j.shape})"
             )
     structure = connectivity_structure(connectivity)
     taps = _structure_taps_3d(structure)
     if max_iters is None:
-        max_iters = int(sum(field.shape)) + 32
+        max_iters = int(sum(field_j.shape)) + 32
 
-    field_j = jnp.asarray(np.where(np.isnan(field), np.inf, field))
-    markers_j = jnp.asarray(markers)
-    mask_j = jnp.asarray(mask_arr)
-    fwd_int = jnp.asarray(np.round(np.asarray(forward_flow)).astype(np.int32))
-    bwd_int = jnp.asarray(np.round(np.asarray(backward_flow)).astype(np.int32))
+    field_j = jnp.where(jnp.isnan(field_j), jnp.inf, field_j)
+    fwd_int = jnp.round(jnp.asarray(forward_flow)).astype(jnp.int32)
+    bwd_int = jnp.round(jnp.asarray(backward_flow)).astype(jnp.int32)
+    if radius is None:
+        # adaptive band radius: the temporal-tap cost scales with 2R+1, so
+        # specialise to the actual maximum rounded displacement (one scalar
+        # readback; compile cache is keyed per radius value)
+        radius = int(
+            max(int(jnp.abs(fwd_int).max()), int(jnp.abs(bwd_int).max()), 1)
+        )
+        radius = min(radius + 1, 21)
 
-    seeded = markers != 0
+    seeded = markers_j != 0
     state = (
-        jnp.asarray(np.where(seeded, -np.inf, np.inf).astype(np.float32)),
-        jnp.asarray(np.where(seeded, 0, 1 << 30).astype(np.int32)),
+        jnp.where(seeded, -jnp.inf, jnp.inf).astype(jnp.float32),
+        jnp.where(seeded, 0, 1 << 30).astype(jnp.int32),
         markers_j,
     )
 
@@ -258,4 +267,6 @@ def watershed(
 
     label = state[2]
     out = jnp.where((markers_j != 0) | (mask_j & (label != 0)), label, 0)
+    if return_device:
+        return out
     return np.array(out)

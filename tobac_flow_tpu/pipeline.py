@@ -172,7 +172,9 @@ def fused_flow_watershed(bt, dt_minutes, params=None, ws_iters=128):
     fwd, bwd, growth, field, edges = _fields_stage(bt, dt_minutes, params)
     markers = (field >= 1.0).astype(jnp.int32)
     mask = field > 0.05
-    labels = watershed(fwd, bwd, edges, markers, mask=mask, max_iters=ws_iters)
+    labels = watershed(
+        fwd, bwd, edges, markers, mask=mask, max_iters=ws_iters, return_device=True
+    )
     return fwd, growth, edges, labels
 
 
