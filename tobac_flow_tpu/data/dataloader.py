@@ -176,6 +176,78 @@ def fill_time_gap_nan(da, time_gap=timedelta(minutes=15)):
     return out
 
 
+def fill_time_gap_full_disk(
+    bt,
+    wvd,
+    swd,
+    start_date,
+    end_date,
+    time_gap=timedelta(minutes=15),
+    x0=None,
+    x1=None,
+    y0=None,
+    y1=None,
+    **io_kwargs,
+):
+    """Fill CONUS time gaps from full-disk scans (reference
+    ``dataloader.py:385-517``): the CONUS sector sits at a fixed offset
+    (x+902, y+422 at 2 km) inside the full-disk grid, so missing CONUS frames
+    can be cut from M/C→F fallback files."""
+    from tobac_flow_tpu.utils.datetime_utils import get_datetime_from_coord
+
+    times = bt.coords["t"]
+    dates = get_datetime_from_coord(times)
+    gaps = np.where(np.diff(times).astype("timedelta64[s]") > np.timedelta64(time_gap))[0]
+    if not gaps.size:
+        return bt, wvd, swd
+
+    fx0 = (x0 or 0) + 902
+    fx1 = (x1 if x1 is not None else 2500) + 902
+    fy0 = (y0 or 0) + 422
+    fy1 = (y1 if y1 is not None else 1500) + 422
+
+    io_kwargs = dict(io_kwargs)
+    io_kwargs["view"] = "F"
+    new_frames = {"bt": [], "wvd": [], "swd": []}
+    new_times = []
+    for g in gaps:
+        print(
+            f"Filling time gap between {dates[g].isoformat()} and "
+            f"{dates[g + 1].isoformat()} from full disk",
+            flush=True,
+        )
+        files = io.find_abi_files(dates[g], dates[g + 1], **io_kwargs)
+        if not files:
+            continue
+        try:
+            fbt, fwvd, fswd, _ = load_mcmip(files, x0=fx0, x1=fx1, y0=fy0, y1=fy1)
+        except Exception as exc:
+            warnings.warn(f"full-disk gap fill failed: {exc}")
+            continue
+        new_frames["bt"].append(fbt.values)
+        new_frames["wvd"].append(fwvd.values)
+        new_frames["swd"].append(fswd.values)
+        new_times.append(fbt.coords["t"])
+
+    if not new_times:
+        return bt, wvd, swd
+
+    def merge(da, frames):
+        vals = np.concatenate([da.values] + frames)
+        t = np.concatenate([da.coords["t"]] + new_times)
+        order = np.argsort(t)
+        return DataArray(
+            vals[order], coords={**da.coords, "t": t[order]}, dims=da.dims,
+            name=da.name, attrs=dict(da.attrs),
+        )
+
+    return (
+        merge(bt, new_frames["bt"]),
+        merge(wvd, new_frames["wvd"]),
+        merge(swd, new_frames["swd"]),
+    )
+
+
 def goes_dataloader(
     start_date,
     end_date,
@@ -197,6 +269,15 @@ def goes_dataloader(
         )
     bt, wvd, swd, proj_attrs = load_mcmip(files, x0=x0, x1=x1, y0=y0, y1=y1)
 
+    if io_kwargs.get("view", "C") == "C":
+        try:
+            bt, wvd, swd = fill_time_gap_full_disk(
+                bt, wvd, swd, start_date, end_date, time_gap,
+                x0=x0, x1=x1, y0=y0, y1=y1,
+                **{k: v for k, v in io_kwargs.items() if k != "view"},
+            )
+        except Exception as exc:
+            warnings.warn(f"full-disk gap fill unavailable: {exc}")
     bt = fill_time_gap_nan(bt, time_gap)
     wvd = fill_time_gap_nan(wvd, time_gap)
     swd = fill_time_gap_nan(swd, time_gap)

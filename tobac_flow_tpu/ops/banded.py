@@ -54,6 +54,10 @@ def banded_gather_axis(img, idisp, axis, radius, fill_value=0.0, pad_mode="const
         return jnp.where(idisp == (k - radius), shifted, acc)
 
     init = jnp.full(img.shape, fill_value, dtype=img.dtype)
+    # join with a (dead) slice of the input so the carry's sharding/varying
+    # type matches inside shard_map (fori carries must type-match)
+    probe = jax.lax.dynamic_slice(padded, [0] * img.ndim, list(img.shape))
+    init = jnp.where(jnp.zeros((), bool), probe, init)
     return jax.lax.fori_loop(0, 2 * radius + 1, body, init)
 
 
@@ -88,6 +92,8 @@ def banded_warp_axis(img, disp, axis, radius, fill_value=jnp.nan, pad_mode="cons
         return jnp.where(ilo == s, val, acc)
 
     init = jnp.full(img.shape, fill_value, dtype=img.dtype)
+    probe = jax.lax.dynamic_slice(padded, [0] * img.ndim, list(img.shape))
+    init = jnp.where(jnp.zeros((), bool), probe, init)
     return jax.lax.fori_loop(0, 2 * radius + 1, body, init)
 
 

@@ -91,17 +91,25 @@ def _watershed_sweeps(
     field, markers, mask, fwd_int, bwd_int, state, taps, radius, n_iters,
     spatial_per_temporal=8,
 ):
-    """Run up to n_iters sweep rounds; returns (state, rounds_used)."""
+    """Run up to n_iters sweep rounds; returns (state, rounds_used).
+
+    State is (claim: f32, meta: int32) with meta = min(hops, 255) << 23 |
+    (label + 2): the lexicographic (claim, hops, label) comparison becomes a
+    two-key compare and every sweep moves one array less.  Labels must lie in
+    [-1, 2^23 - 3] (detection labels are far below; asserted by the wrapper).
+    """
     t, h, w = field.shape
     seeded = markers != 0
     floodable = mask & ~seeded
-    big_hops = jnp.int32(1 << 30)
-    big_label = jnp.int32(np.iinfo(np.int32).max)
+    meta_max = jnp.int32(np.iinfo(np.int32).max)
 
     in_plane = tuple((dy, dx) for dt, dy, dx in taps if dt == 0)
     temporal = tuple((dt, dy, dx) for dt, dy, dx in taps if dt != 0)
 
-    def shift3(arrs, dy, dx, fills):
+    hops_step = jnp.int32(1 << 23)
+    hops_cap = jnp.int32(255 << 23)
+
+    def shift2(arrs, dy, dx, fills):
         outs = []
         for a, fill in zip(arrs, fills):
             padded = jnp.pad(
@@ -116,49 +124,39 @@ def _watershed_sweeps(
             )
         return outs
 
-    def consider(best, cq, hq, lq):
-        bc, bh, bl = best
-        cand_h = jnp.minimum(hq + 1, big_hops - 1)
-        valid = lq != 0
-        better = cq < bc
-        tie_c = cq == bc
-        better = better | (tie_c & (cand_h < bh))
-        tie_h = tie_c & (cand_h == bh)
-        key = lambda l: jnp.where(l == 0, big_label, l)
-        better = (better | (tie_h & (key(lq) < key(bl)))) & valid
-        return (
-            jnp.where(better, cq, bc),
-            jnp.where(better, cand_h, bh),
-            jnp.where(better, lq, bl),
-        )
+    def consider(best, cq, mq):
+        bc, bm = best
+        # bump the hop count of the incoming candidate (saturating at 255 —
+        # an unconditional add would overflow the int32 at the cap)
+        cand_m = mq + jnp.where(mq < hops_cap, hops_step, 0)
+        valid = mq != meta_max  # unlabeled/out-of-frame sources never compete
+        better = (cq < bc) | ((cq == bc) & (cand_m < bm))
+        better = better & valid
+        return jnp.where(better, cq, bc), jnp.where(better, cand_m, bm)
 
     def sweep(state, include_temporal):
-        claim, hops, label = state
+        claim, meta = state
         cost = jnp.where(seeded, field, jnp.maximum(field, claim))
-        best = (claim, hops, label)
+        best = (claim, meta)
         for dy, dx in in_plane:
-            cq, hq, lq = shift3((cost, hops, label), dy, dx, (_INF, 0, 0))
-            best = consider(best, cq, hq, lq)
+            cq, mq = shift2((cost, meta), dy, dx, (_INF, meta_max))
+            best = consider(best, cq, mq)
         if include_temporal:
             for dt, dy, dx in temporal:
                 flow_i = fwd_int if dt == 1 else bwd_int
-                cs, hs, ls = (
-                    _shift_t(cost, dt, _INF),
-                    _shift_t(hops, dt, 0),
-                    _shift_t(label, dt, 0),
-                )
-                cq, hq, lq = _banded_pull(
-                    (cs, hs, ls),
-                    (_INF, 0, 0),
+                cs = _shift_t(cost, dt, _INF)
+                ms = _shift_t(meta, dt, meta_max)
+                cq, mq = _banded_pull(
+                    (cs, ms),
+                    (_INF, meta_max),
                     flow_i[..., 1] + dy,
                     flow_i[..., 0] + dx,
                     radius,
                 )
-                best = consider(best, cq, hq, lq)
+                best = consider(best, cq, mq)
         return (
             jnp.where(floodable, best[0], claim),
-            jnp.where(floodable, best[1], hops),
-            jnp.where(floodable, best[2], label),
+            jnp.where(floodable, best[1], meta),
         )
 
     def cond(carry):
@@ -170,11 +168,7 @@ def _watershed_sweeps(
         new = sweep(state, True)
         for _ in range(spatial_per_temporal):
             new = sweep(new, False)
-        changed = (
-            jnp.any(new[0] != state[0])
-            | jnp.any(new[1] != state[1])
-            | jnp.any(new[2] != state[2])
-        )
+        changed = jnp.any(new[1] != state[1]) | jnp.any(new[0] != state[0])
         return new, changed, it + 1
 
     state, changed, used = jax.lax.while_loop(
@@ -240,18 +234,23 @@ def watershed(
     bwd_int = jnp.round(jnp.asarray(backward_flow)).astype(jnp.int32)
     if radius is None:
         # adaptive band radius: the temporal-tap cost scales with 2R+1, so
-        # specialise to the actual maximum rounded displacement (one scalar
-        # readback; compile cache is keyed per radius value)
-        radius = int(
-            max(int(jnp.abs(fwd_int).max()), int(jnp.abs(bwd_int).max()), 1)
+        # specialise to the 99th-percentile rounded displacement (one scalar
+        # readback; compile cache is keyed per radius value).  Displacements
+        # beyond the band are clipped by the banded gather — the handful of
+        # noise-driven outlier vectors saturate exactly as the reference's
+        # ±max_value clip does.
+        q = jnp.quantile(
+            jnp.abs(jnp.stack([fwd_int, bwd_int])).astype(jnp.float32), 0.99
         )
-        radius = min(radius + 1, 21)
+        radius = int(min(int(q) + 2, 21))
 
     seeded = markers_j != 0
+    # packed meta = hops << 23 | (label + 2); unlabeled = INT32_MAX sentinel
+    meta_max = np.int32(np.iinfo(np.int32).max)
+    meta0 = jnp.where(seeded, markers_j + 2, meta_max).astype(jnp.int32)
     state = (
         jnp.where(seeded, -jnp.inf, jnp.inf).astype(jnp.float32),
-        jnp.where(seeded, 0, 1 << 30).astype(jnp.int32),
-        markers_j,
+        meta0,
     )
 
     done = 0
@@ -265,7 +264,9 @@ def watershed(
         if used < n:  # converged inside the chunk
             break
 
-    label = state[2]
+    meta = state[1]
+    label = jnp.where(meta == meta_max, 0, (meta & ((1 << 23) - 1)) - 2)
+    label = jnp.where(seeded, markers_j, label)
     out = jnp.where((markers_j != 0) | (mask_j & (label != 0)), label, 0)
     if return_device:
         return out
