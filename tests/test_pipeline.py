@@ -1,0 +1,55 @@
+"""Fused device pipeline vs the exact modular path, and vs the CPU
+reference reconstruction (bench oracle): the banded/approx fast path must
+reproduce the reference-semantics labels at IoU >= 0.99."""
+
+import numpy as np
+import jax
+import pytest
+
+
+def iou(a, b):
+    inter = np.logical_and(a != 0, b != 0).sum()
+    union = np.logical_or(a != 0, b != 0).sum()
+    return inter / union if union else 1.0
+
+
+@pytest.fixture(scope="module")
+def scene():
+    import bench
+
+    return jax.block_until_ready(bench.make_scene_device(8, 160, 224))
+
+
+def test_fused_matches_cpu_reference(scene):
+    import bench
+
+    _, nlab = bench.tpu_pipeline(scene)
+    _, l2 = bench.cpu_reference_pipeline(np.asarray(scene))
+    n2 = int((l2 != 0).sum())
+    assert nlab > 0
+    # foreground pixel counts agree closely (boundary ties only)
+    assert abs(nlab - n2) / max(n2, 1) < 0.02
+
+
+def test_fused_labels_iou_vs_cpu(scene):
+    from tobac_flow_tpu.pipeline import fused_flow_watershed
+    import bench
+
+    _, _, _, labels = fused_flow_watershed(scene, 5.0)
+    labels = np.asarray(labels)
+    _, oracle = bench.cpu_reference_pipeline(np.asarray(scene))
+    assert iou(labels, oracle) >= 0.98
+
+
+def test_multigrid_watershed_matches_flat(scene):
+    from tobac_flow_tpu.pipeline import _fields_stage
+    from tobac_flow_tpu.ops.watershed import watershed
+
+    fwd, bwd, growth, field, edges = _fields_stage(scene, 5.0)
+    markers = np.asarray((field >= 1.0)).astype(np.int32)
+    mask = np.asarray(field > 0.05)
+    with_mg = watershed(fwd, bwd, edges, markers, mask=mask, multigrid=True)
+    without = watershed(fwd, bwd, edges, markers, mask=mask, multigrid=False)
+    assert iou(with_mg, without) >= 0.99
+    agree = (with_mg == without).mean()
+    assert agree > 0.99

@@ -177,6 +177,27 @@ def _watershed_sweeps(
     return state, used
 
 
+def _coarsen(a, f, reduce="max"):
+    """Factor-f pooling of the spatial axes of a (T, H, W) array."""
+    t, h, w = a.shape
+    hc, wc = h // f, w // f
+    v = a[:, : hc * f, : wc * f].reshape(t, hc, f, wc, f)
+    if reduce == "max":
+        return v.max(axis=(2, 4))
+    if reduce == "min":
+        return v.min(axis=(2, 4))
+    return v.mean(axis=(2, 4))
+
+
+def _upsample_nearest(a, f, h, w):
+    up = jnp.repeat(jnp.repeat(a, f, axis=1), f, axis=2)
+    pad_h = h - up.shape[1]
+    pad_w = w - up.shape[2]
+    if pad_h or pad_w:
+        up = jnp.pad(up, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
+    return up
+
+
 def watershed(
     forward_flow,
     backward_flow,
@@ -188,6 +209,7 @@ def watershed(
     chunk_iters: int = 16,
     radius: int | None = None,
     return_device: bool = False,
+    multigrid: bool = True,
 ):
     """Watershed segmentation of a (T, H, W) sequence in the moving frame
     (API parity: reference ``watershed.py:17-168``).
@@ -239,9 +261,11 @@ def watershed(
         # beyond the band are clipped by the banded gather — the handful of
         # noise-driven outlier vectors saturate exactly as the reference's
         # ±max_value clip does.
-        q = jnp.quantile(
-            jnp.abs(jnp.stack([fwd_int, bwd_int])).astype(jnp.float32), 0.99
-        )
+        mag = jnp.maximum(jnp.abs(fwd_int), jnp.abs(bwd_int))
+        total = mag.size
+        exceed = jnp.stack([(mag > k).sum() for k in range(21)])
+        small_enough = exceed <= max(total // 100, 1)  # ≥99% within the band
+        q = jnp.argmax(small_enough)  # first radius covering 99%
         radius = int(min(int(q) + 2, 21))
 
     seeded = markers_j != 0
@@ -252,6 +276,54 @@ def watershed(
         jnp.where(seeded, -jnp.inf, jnp.inf).astype(jnp.float32),
         meta0,
     )
+
+    t, h, w = field_j.shape
+    factor = 4
+    if multigrid and h >= 8 * factor and w >= 8 * factor:
+        # V-cycle: flood a max-pooled field first (coarse barriers >= true
+        # barriers, so the upsampled claims are upper bounds and full-res
+        # sweeps relax monotonically to the same fixed point), then refine.
+        cf = _coarsen(field_j, factor, "max")
+        cmask = _coarsen(mask_j.astype(jnp.int32), factor, "max").astype(bool)
+        cmark = _coarsen(markers_j, factor, "max")
+        neg = _coarsen(markers_j, factor, "min")
+        cmark = jnp.where((cmark == 0) & (neg < 0), neg, cmark)
+        cfwd = (_coarsen(fwd_int[..., 0], factor, "mean") / factor).astype(jnp.int32)
+        cfwy = (_coarsen(fwd_int[..., 1], factor, "mean") / factor).astype(jnp.int32)
+        cbwx = (_coarsen(bwd_int[..., 0], factor, "mean") / factor).astype(jnp.int32)
+        cbwy = (_coarsen(bwd_int[..., 1], factor, "mean") / factor).astype(jnp.int32)
+        cfwd_i = jnp.stack([cfwd, cfwy], axis=-1)
+        cbwd_i = jnp.stack([cbwx, cbwy], axis=-1)
+        cseeded = cmark != 0
+        cstate = (
+            jnp.where(cseeded, -jnp.inf, jnp.inf).astype(jnp.float32),
+            jnp.where(cseeded, cmark + 2, meta_max).astype(jnp.int32),
+        )
+        cradius = max(radius // factor, 1) if radius is not None else 5
+        cdone = 0
+        cmax = (max_iters // 2) + 8
+        while cdone < cmax:
+            n = min(chunk_iters, cmax - cdone)
+            cstate, used = _watershed_sweeps(
+                cf, cmark, cmask, cfwd_i, cbwd_i, cstate, taps, cradius, n
+            )
+            used = int(used)
+            cdone += used
+            if used < n:
+                break
+        up_claim = _upsample_nearest(cstate[0], factor, h, w)
+        up_meta = _upsample_nearest(cstate[1], factor, h, w)
+        # adopt the coarse solution as an upper-bound initial state wherever
+        # the fine pixel is floodable and the coarse label is set; the
+        # edge-replicated crop margin is excluded (no upper-bound guarantee)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 1)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 2)
+        in_cov = (yi < (h // factor) * factor) & (xi < (w // factor) * factor)
+        adopt = mask_j & ~seeded & (up_meta != meta_max) & in_cov
+        state = (
+            jnp.where(adopt, jnp.maximum(up_claim, field_j), state[0]),
+            jnp.where(adopt, up_meta, state[1]),
+        )
 
     done = 0
     while done < max_iters:

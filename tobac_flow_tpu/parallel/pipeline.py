@@ -70,40 +70,21 @@ def _local_flow(bt_h, params):
 
 
 def _stencil_gather(data_h, flow, dyx, taps, fill):
-    """Gather flow-displaced neighbours from the ±1-frame halo block.
+    """Gather flow-displaced neighbours from the ±1-frame halo block via the
+    banded-shift warp (``ops/banded.py``) — the integer structuring offsets
+    fold into the displacement field, so each tap is one banded 2D pass.
 
     data_h: (T_l + 2, H, W); flow: (T_l, H, W, 2) displacement toward the
     neighbouring frame (dt = dyx); returns list of (T_l, H, W) taps.
     """
+    from tobac_flow_tpu.ops.banded import banded_warp_axis
+
     tl = flow.shape[0]
-    h, w = data_h.shape[1:]
-    yi = jax.lax.broadcasted_iota(jnp.float32, (tl, h, w), 1)
-    xi = jax.lax.broadcasted_iota(jnp.float32, (tl, h, w), 2)
     neighbour = jax.lax.dynamic_slice_in_dim(data_h, 1 + dyx, tl, axis=0)
-    bx = xi + flow[..., 0]
-    by = yi + flow[..., 1]
     outs = []
     for ox, oy in taps:
-        px = bx + ox
-        py = by + oy
-        x0 = jnp.floor(px).astype(jnp.int32)
-        y0 = jnp.floor(py).astype(jnp.int32)
-        fx = px - x0
-        fy = py - y0
-        acc = jnp.zeros((tl, h, w), jnp.float32)
-        for ky in (0, 1):
-            for kx in (0, 1):
-                ix = x0 + kx
-                iy = y0 + ky
-                inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-                flat_idx = jnp.where(inb, iy * w + ix, 0)
-                vals = jnp.take_along_axis(
-                    neighbour.reshape(tl, -1), flat_idx.reshape(tl, -1), axis=1
-                ).reshape(tl, h, w)
-                vals = jnp.where(inb, vals, fill)
-                wgt = (fy if ky else 1 - fy) * (fx if kx else 1 - fx)
-                acc = acc + jnp.where(wgt == 0, 0.0, wgt * vals)
-        outs.append(acc)
+        a = banded_warp_axis(neighbour, flow[..., 1] + oy, -2, 21, fill)
+        outs.append(banded_warp_axis(a, flow[..., 0] + ox, -1, 21, fill))
     return outs
 
 
@@ -244,19 +225,24 @@ def _detect_step_local(bt, wvd, swd, dt_minutes, params, hx, ws_sweeps):
             hq = jnp.roll(jnp.roll(hops, oy, 1), ox, 2)
             lq = jnp.roll(jnp.roll(label, oy, 1), ox, 2)
             best = consider(best, cq, hq, lq)
-        # temporal neighbours displaced by the rounded flow
+        # temporal neighbours displaced by the rounded flow (banded gathers)
+        from tobac_flow_tpu.ops.banded import banded_gather_axis
+
         for dt_, fl in ((-1, bwd_i), (1, fwd_i)):
-            ty = yi + fl[..., 1]
-            tx = xi + fl[..., 0]
-            inb = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < wl)
-            src_t = ti + dt_ + 1  # index into halo-extended arrays
-            flat = (src_t * h + jnp.where(inb, ty, 0)) * wl + jnp.where(inb, tx, 0)
-            take = lambda a, fill: jnp.where(
-                inb, jnp.take(a.reshape(-1), flat.reshape(-1)).reshape(tl, h, wl), fill
+            nb = jax.lax.dynamic_slice_in_dim(cost_h, dt_ + 1, tl, axis=0)
+            nh = jax.lax.dynamic_slice_in_dim(hops_h, dt_ + 1, tl, axis=0)
+            nl = jax.lax.dynamic_slice_in_dim(label_h, dt_ + 1, tl, axis=0)
+            dy = fl[..., 1]
+            dx = fl[..., 0]
+            cq = banded_gather_axis(
+                banded_gather_axis(nb, dy, -2, 21, jnp.inf), dx, -1, 21, jnp.inf
             )
-            cq = take(cost_h, jnp.inf)
-            hq = take(hops_h.astype(jnp.float32), 0.0).astype(jnp.int32)
-            lq = take(label_h.astype(jnp.float32), 0.0).astype(jnp.int32)
+            hq = banded_gather_axis(
+                banded_gather_axis(nh, dy, -2, 21, 0), dx, -1, 21, 0
+            )
+            lq = banded_gather_axis(
+                banded_gather_axis(nl, dy, -2, 21, 0), dx, -1, 21, 0
+            )
             best = consider(best, cq, hq, lq)
         floodable = ~anvil_markers
         return (

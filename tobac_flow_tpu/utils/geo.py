@@ -96,6 +96,63 @@ def get_sza(datetimes, lat, lon):
     return np.degrees(np.arccos(np.clip(cos_sza, -1, 1)))
 
 
+def get_sza_and_azi(datetimes, lat, lon):
+    """Solar zenith AND azimuth angles (degrees; azimuth clockwise from
+    north) — reference ``geo.py:98-165``."""
+    datetimes = np.asarray(datetimes, dtype="datetime64[s]")
+    doy = (
+        (datetimes - datetimes.astype("datetime64[Y]")).astype("timedelta64[D]")
+    ).astype(float)
+    hours = (
+        (datetimes - datetimes.astype("datetime64[D]")).astype("timedelta64[s]")
+    ).astype(float) / 3600.0
+    g = 2 * np.pi * (doy + hours / 24.0) / 365.25
+    dec = (
+        0.006918
+        - 0.399912 * np.cos(g)
+        + 0.070257 * np.sin(g)
+        - 0.006758 * np.cos(2 * g)
+        + 0.000907 * np.sin(2 * g)
+        - 0.002697 * np.cos(3 * g)
+        + 0.00148 * np.sin(3 * g)
+    )
+    eqt = 229.18 * (
+        0.000075
+        + 0.001868 * np.cos(g)
+        - 0.032077 * np.sin(g)
+        - 0.014615 * np.cos(2 * g)
+        - 0.040849 * np.sin(2 * g)
+    )
+    tst = hours * 60.0 + eqt + 4.0 * np.asarray(lon)
+    ha = np.radians(tst / 4.0 - 180.0)
+    lat_r = np.radians(np.asarray(lat))
+    cos_sza = np.sin(lat_r) * np.sin(dec) + np.cos(lat_r) * np.cos(dec) * np.cos(ha)
+    sza = np.degrees(np.arccos(np.clip(cos_sza, -1, 1)))
+    sin_sza = np.sin(np.radians(sza))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos_azi = (np.sin(dec) - np.sin(lat_r) * cos_sza) / (
+            np.cos(lat_r) * np.where(sin_sza == 0, np.nan, sin_sza)
+        )
+    azi = np.degrees(np.arccos(np.clip(cos_azi, -1, 1)))
+    azi = np.where(ha > 0, 360.0 - azi, azi)
+    return sza, azi
+
+
+def get_satellite_viewing_angles(lat, lon, sat_lon=-75.0, sat_height=35786023.0):
+    """Satellite zenith and azimuth at ground locations
+    (reference ``geo.py:167-222``)."""
+    from tobac_flow_tpu.data.abi import ABIProjection
+
+    proj = ABIProjection(
+        longitude_of_projection_origin=sat_lon,
+        perspective_point_height=sat_height,
+    )
+    zen = proj.sat_zenith(lat, lon)
+    azi = initial_bearing(lon, lat, np.full_like(np.asarray(lon, float), sat_lon),
+                          np.zeros_like(np.asarray(lat, float)))
+    return zen, azi
+
+
 def get_pixel_lengths(lat, lon):
     """Approximate pixel x/y lengths (km) from lat/lon grids
     (reference ``geo.py:224-246``)."""
