@@ -1,0 +1,94 @@
+"""Sharded (multi-chip) layer tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tobac_flow_tpu.parallel.halo import halo_exchange_t, halo_exchange_x
+from tobac_flow_tpu.parallel.mesh import make_mesh
+from tobac_flow_tpu.parallel.pipeline import sharded_detect_step
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(n_t=4, n_x=2)
+
+
+def test_halo_exchange_t(mesh):
+    t, h, w = 8, 4, 16
+
+    def body(x):
+        return halo_exchange_t(x, halo=1, fill_value=-1.0)
+
+    data = jnp.arange(t * h * w, dtype=jnp.float32).reshape(t, h, w)
+    out = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=P("t", None, "x"), out_specs=P("t", None, "x")
+        )
+    )(data)
+    out = np.asarray(out)
+    # each shard of 2 frames became 4 (with halos); reshape to inspect
+    assert out.shape == (16, 4, 16)
+    np_data = np.asarray(data)
+    for s in range(4):
+        block = out[s * 4 : (s + 1) * 4]
+        lo = s * 2
+        if s > 0:
+            assert np.array_equal(block[0], np_data[lo - 1])
+        else:
+            assert np.all(block[0] == -1.0)
+        assert np.array_equal(block[1], np_data[lo])
+        assert np.array_equal(block[2], np_data[lo + 1])
+        if s < 3:
+            assert np.array_equal(block[3], np_data[lo + 2])
+        else:
+            assert np.all(block[3] == -1.0)
+
+
+def test_halo_exchange_x(mesh):
+    t, h, w = 4, 4, 32
+
+    def body(x):
+        return halo_exchange_x(x, halo=2, fill_value=-1.0)
+
+    data = jnp.arange(t * h * w, dtype=jnp.float32).reshape(t, h, w)
+    out = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=P("t", None, "x"), out_specs=P("t", None, "x")
+        )
+    )(data)
+    out = np.asarray(out)
+    assert out.shape == (t, h, 40)  # 2 shards × (16 + 2*2)
+    np_data = np.asarray(data)
+    # first shard: left halo is fill, right halo mirrors the next shard
+    assert np.all(out[..., :2][: t // 4] == -1.0) or np.all(out[0, :, :2] == -1.0)
+    assert np.array_equal(out[0, :, 18:20], np_data[0, :, 16:18])
+
+
+def test_sharded_detect_step_runs(mesh):
+    t, h, w = 8, 16, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    bt = np.stack(
+        [
+            290 - 50 * np.exp(-((xx - 16 - 2 * i) ** 2 + (yy - 8) ** 2) / 18.0)
+            for i in range(t)
+        ]
+    ).astype(np.float32)
+    wvd = (250 - bt) * 0.2 - 5
+    swd = 5 - (290 - bt) * 0.07
+    out = sharded_detect_step(mesh, bt, wvd, swd, hx=4, ws_sweeps=2)
+    fwd, bwd, growth, markers, edges, labels = [np.asarray(o) for o in out]
+    assert fwd.shape == (t, h, w, 2)
+    assert np.isfinite(fwd).all()
+    assert growth.shape == (t, h, w)
+    assert labels.shape == (t, h, w)
+    # the moving storm produces flow ≈ +2 px/frame in x inside the cloud
+    m = bt < 260
+    if m[1:-1].sum() > 50:
+        med = np.median(fwd[1:-1][m[1:-1]][:, 0])
+        assert 1.0 < med < 3.0

@@ -159,20 +159,28 @@ def _watershed_sweeps(
             jnp.where(floodable, best[1], meta),
         )
 
+    label_mask = jnp.int32((1 << 23) - 1)
+
     def cond(carry):
-        _, changed, it = carry
-        return jnp.logical_and(changed, it < n_iters)
+        _, quiet, it = carry
+        # stop after two consecutive rounds without label changes (claims
+        # keep relaxing long after the assignment stabilises; label-only
+        # convergence with a grace round avoids paying for that tail)
+        return jnp.logical_and(quiet < 2, it < n_iters)
 
     def body(carry):
-        state, _, it = carry
+        state, quiet, it = carry
         new = sweep(state, True)
         for _ in range(spatial_per_temporal):
             new = sweep(new, False)
-        changed = jnp.any(new[1] != state[1]) | jnp.any(new[0] != state[0])
-        return new, changed, it + 1
+        labels_changed = jnp.any(
+            (new[1] & label_mask) != (state[1] & label_mask)
+        )
+        quiet = jnp.where(labels_changed, 0, quiet + 1)
+        return new, quiet, it + 1
 
-    state, changed, used = jax.lax.while_loop(
-        cond, body, (state, jnp.bool_(True), jnp.int32(0))
+    state, _, used = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), jnp.int32(0))
     )
     return state, used
 

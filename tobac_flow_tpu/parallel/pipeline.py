@@ -256,9 +256,10 @@ def _detect_step_local(bt, wvd, swd, dt_minutes, params, hx, ws_sweeps):
         state, _ = ws_sweep(state, None)
     claim, hops, label = state
 
-    # crop x halos from all outputs
+    # crop x halos from all outputs (the x axis is axis 2; flow arrays carry
+    # a trailing component axis)
     def crop(a):
-        return a[..., hx:-hx] if hx else a
+        return a[:, :, hx:-hx] if hx else a
 
     return (
         crop(fwd),
