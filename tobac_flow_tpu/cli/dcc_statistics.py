@@ -124,6 +124,7 @@ def combine_datasets(datasets):
                         joined = np.concatenate([base[var].values, fill])[order]
                     da = base[var].copy()
                     da.values = joined
+                    da.coords[dim] = new_vals
                     merged.data_vars[var] = da
                 elif var in base.data_vars:
                     merged.data_vars[var] = base.data_vars[var]
