@@ -79,6 +79,40 @@ def calculate_flow(
     )
 
 
+def calculate_flow_2(
+    a,
+    b,
+    model: str = "Farneback",
+    vr_steps: int = 0,
+    smoothing_passes: int = 0,
+    normalisation_method: str = "linear",
+    **normalisation_kwargs,
+):
+    """Forward/backward flow between two co-timed field stacks — each frame
+    of ``a`` is paired with the same frame of ``b`` (reference
+    ``flow.py:431-496``; used for flow-residual QC)."""
+    from tobac_flow_tpu.models import batch_flow
+
+    a = np.asarray(getattr(a, "values", a), dtype=np.float32)
+    b = np.asarray(getattr(b, "values", b), dtype=np.float32)
+    fwd = np.full(a.shape + (2,), np.nan, dtype=np.float32)
+    bwd = np.full(a.shape + (2,), np.nan, dtype=np.float32)
+    for i in range(a.shape[0] - 1):
+        f, bk = batch_flow(
+            np.stack([a[i], b[i]]),
+            model=model,
+            vr_steps=vr_steps,
+            smoothing_passes=smoothing_passes,
+            normalisation_method=normalisation_method,
+            **normalisation_kwargs,
+        )
+        fwd[i] = f[0]
+        bwd[i + 1] = bk[1]
+    fwd[-1] = -bwd[-1]
+    bwd[0] = -fwd[0]
+    return fwd, bwd
+
+
 class Flow(AbstractFlow):
     """Semi-Lagrangian operations driven by dense optical flow fields."""
 

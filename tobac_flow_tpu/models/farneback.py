@@ -242,14 +242,26 @@ def _update_flow(b1, A1, R2, flow, winsize, num_iters, resamples=None):
     # solves just re-add the same correction (divergent); every solve must be
     # preceded by a re-warp.  ``resamples`` therefore caps the number of
     # warp+solve rounds actually run.
+    #
+    # The target expansion is pre-shifted ONCE by the incoming integer flow
+    # (full ±radius band); each round then resamples only the small residual
+    # displacement (the per-level refinement is bounded by ~winsize/2), so
+    # the dominant banded-warp cost shrinks ~3x.  The residual band clips
+    # extreme corrections — the next pyramid level absorbs them.
     from tobac_flow_tpu.ops.banded import warp_banded_multi
 
     radius = int(min(20, max(h, w) // 2 + 1))
+    res_radius = min(6, radius)
     stack = jnp.moveaxis(R2, -1, 0)  # (5, H, W)
+    base_int = jnp.round(flow)
+    stack0 = warp_banded_multi(
+        stack, base_int, radius=radius, method="nearest", pad_mode="edge"
+    )
 
     def body(_, flow):
         samp = warp_banded_multi(
-            stack, flow, radius=radius, method="linear", pad_mode="edge"
+            stack0, flow - base_int, radius=res_radius, method="linear",
+            pad_mode="edge",
         )
         return solve(
             jnp.moveaxis(samp[0:2], 0, -1), jnp.moveaxis(samp[2:5], 0, -1), flow
