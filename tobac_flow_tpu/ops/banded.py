@@ -97,6 +97,38 @@ def banded_warp_axis(img, disp, axis, radius, fill_value=jnp.nan, pad_mode="cons
     return jax.lax.fori_loop(0, 2 * radius + 1, body, init)
 
 
+def banded_warp_axis_cubic(
+    img, disp, axis, radius, fill_value=jnp.nan, pad_mode="constant"
+):
+    """Cubic-convolution (cv2 INTER_CUBIC, A=-0.75) warp along one axis."""
+    from tobac_flow_tpu.ops.warp import _cubic_weights
+
+    axis = axis % img.ndim
+    radius = int(radius)
+    disp = jnp.clip(disp, -float(radius), float(radius))
+    lo = jnp.floor(disp)
+    frac = (disp - lo).astype(img.dtype)
+    ilo = lo.astype(jnp.int32)
+    weights = _cubic_weights(frac)  # taps at offsets -1, 0, 1, 2 from floor
+    padded = _axis_pad(img, axis, radius + 2, fill_value, pad_mode)
+    size = list(img.shape)
+
+    def body(k, acc):
+        s = k - radius  # floor displacement
+        val = jnp.zeros_like(acc)
+        for ti, wgt in enumerate(weights):
+            starts = [0] * img.ndim
+            starts[axis] = k + 1 + ti  # tap offset ti - 1 plus radius+2 pad
+            tap = jax.lax.dynamic_slice(padded, starts, size)
+            val = val + jnp.where(wgt == 0, 0.0, wgt * tap)
+        return jnp.where(ilo == s, val, acc)
+
+    init = jnp.full(img.shape, fill_value, dtype=img.dtype)
+    probe = jax.lax.dynamic_slice(padded, [0] * img.ndim, list(img.shape))
+    init = jnp.where(jnp.zeros((), bool), probe, init)
+    return jax.lax.fori_loop(0, 2 * radius + 1, body, init)
+
+
 def warp_banded(img, flow, radius=20, method="linear", fill_value=jnp.nan, pad_mode="constant"):
     """Two-pass banded 2D warp of (..., H, W) by flow (..., H, W, 2)
     (channel 0 = x displacement, 1 = y).
@@ -116,7 +148,10 @@ def warp_banded(img, flow, radius=20, method="linear", fill_value=jnp.nan, pad_m
     if method == "linear":
         a = banded_warp_axis(img, dy, -2, radius, fill_value, pad_mode)
         return banded_warp_axis(a, dx, -1, radius, fill_value, pad_mode)
-    raise ValueError("method must be 'nearest' or 'linear'")
+    if method == "cubic":
+        a = banded_warp_axis_cubic(img, dy, -2, radius, fill_value, pad_mode)
+        return banded_warp_axis_cubic(a, dx, -1, radius, fill_value, pad_mode)
+    raise ValueError("method must be 'nearest', 'linear' or 'cubic'")
 
 
 def warp_banded_multi(

@@ -27,7 +27,25 @@ import numpy as np
 
 from tobac_flow_tpu.ops.warp import shift_plane, warp_plane
 
-__all__ = ["convolve", "structure_taps", "DEFAULT_STRUCTURE"]
+__all__ = ["convolve", "structure_taps", "DEFAULT_STRUCTURE", "FAST_WARP"]
+
+# When True (default), nearest/linear/cubic flow-warps use the banded-shift
+# gather (ops/banded.py) — the TPU-fast path, exact for constant flow and
+# within the flow cross-gradient bound otherwise.  Set False to force the
+# exact per-pixel gather everywhere (CPU parity studies).
+FAST_WARP = True
+
+
+def _warp_plane_banded(img, flow, offsets, method, fill_value):
+    from tobac_flow_tpu.ops.banded import warp_banded
+
+    outs = []
+    for ox, oy in offsets:
+        off = jnp.asarray([float(ox), float(oy)], dtype=jnp.float32)
+        outs.append(
+            warp_banded(img, flow + off, radius=21, method=method, fill_value=fill_value)
+        )
+    return jnp.stack(outs, axis=0)
 
 
 def _binary_structure_1():
@@ -67,11 +85,18 @@ def _convolve_impl(
     prev = jnp.concatenate([fill_frame, data[:-1]], axis=0)
     nxt = jnp.concatenate([data[1:], fill_frame], axis=0)
 
+    if FAST_WARP and method in ("nearest", "linear", "cubic"):
+        plane_warp = _warp_plane_banded
+    else:
+        plane_warp = lambda im, fl, tp, method, fill_value: warp_plane(
+            im, fl, tp, method=method, fill_value=fill_value
+        )
+
     parts = []
     if back_taps:
         parts.append(
             jax.vmap(
-                lambda im, fl: warp_plane(
+                lambda im, fl: plane_warp(
                     im, fl, back_taps, method=method, fill_value=fill_value
                 ),
                 in_axes=(0, 0),
@@ -89,7 +114,7 @@ def _convolve_impl(
     if fwd_taps:
         parts.append(
             jax.vmap(
-                lambda im, fl: warp_plane(
+                lambda im, fl: plane_warp(
                     im, fl, fwd_taps, method=method, fill_value=fill_value
                 ),
                 in_axes=(0, 0),
@@ -108,10 +133,11 @@ def _convolve_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("taps", "method", "func", "out_dtype")
+    jax.jit, static_argnames=("taps", "method", "func", "out_dtype", "fast_warp")
 )
 def _convolve_jit(
-    data, forward_flow, backward_flow, taps, method, fill_value, func, out_dtype
+    data, forward_flow, backward_flow, taps, method, fill_value, func, out_dtype,
+    fast_warp,
 ):
     out = _convolve_impl(
         data, forward_flow, backward_flow, taps, method, fill_value, func, fill_value
@@ -170,4 +196,5 @@ def convolve(
         fill_value,
         func,
         out_dtype,
+        FAST_WARP,  # part of the jit key so toggling retriggers compilation
     )
