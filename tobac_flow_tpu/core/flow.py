@@ -79,6 +79,34 @@ def calculate_flow(
     )
 
 
+def calculate_flow_frame(
+    prev_frame,
+    next_frame,
+    model: str = "Farneback",
+    vr_steps: int = 0,
+    smoothing_steps: int = 0,
+    interp_method: str = "linear",
+):
+    """Forward and backward flow between one pair of (already normalised,
+    0..255-scale) frames (reference ``flow.py:499-527``)."""
+    import jax.numpy as jnp
+
+    from tobac_flow_tpu.models import select_of_model
+    from tobac_flow_tpu.models.variational import variational_refine
+
+    pair_fn = select_of_model(model)
+    prev_j = jnp.asarray(np.asarray(prev_frame, dtype=np.float32))
+    next_j = jnp.asarray(np.asarray(next_frame, dtype=np.float32))
+    fwd = pair_fn(prev_j, next_j)
+    bwd = pair_fn(next_j, prev_j)
+    if vr_steps > 0:
+        fwd = variational_refine(prev_j, next_j, fwd, steps=vr_steps)
+        bwd = variational_refine(next_j, prev_j, bwd, steps=vr_steps)
+    for _ in range(smoothing_steps):
+        fwd, bwd = smooth_flow_step(fwd, bwd, method=interp_method)
+    return np.asarray(fwd), np.asarray(bwd)
+
+
 def calculate_flow_2(
     a,
     b,

@@ -73,6 +73,26 @@ def get_glm_parallax_offsets(lat, lon, sat_lon=-75.0, sat_height=35786023.0):
     return _ecef_to_geodetic(px, py, pz, _GRS80_EQ, _GRS80_POL)
 
 
+def get_corrected_glm_x_y(flash_lats, flash_lons, goes_ds):
+    """Parallax-corrected fixed-grid scan angles of flashes (reference
+    ``glm.py:40-70``)."""
+    from tobac_flow_tpu.data.abi import get_abi_proj
+
+    proj = get_abi_proj(goes_ds)
+    lat_c, lon_c = get_glm_parallax_offsets(
+        flash_lats, flash_lons, sat_lon=proj.lon0, sat_height=proj.h - proj.req
+    )
+    return proj.to_xy(lat_c, lon_c)
+
+
+def get_uncorrected_glm_x_y(flash_lats, flash_lons, goes_ds):
+    """Fixed-grid scan angles without parallax correction (reference
+    ``glm.py:73-104``)."""
+    from tobac_flow_tpu.data.abi import get_abi_proj
+
+    return get_abi_proj(goes_ds).to_xy(flash_lats, flash_lons)
+
+
 def read_glm_flashes(files):
     """Flash (time, lat, lon, energy) arrays from GLM L2 LCFA files."""
     times, lats, lons, energies = [], [], [], []

@@ -120,6 +120,30 @@ def get_temporal_stats(ds, da):
     )
 
 
+def create_new_goes_ds(goes_ds):
+    """Fresh output dataset carrying the source grid's coords, projection and
+    derived lat/lon/pixel-area fields (reference dataset.py:151-186)."""
+    new_ds = Dataset(
+        coords={
+            k: goes_ds.coords[k]
+            for k in ("t", "y", "x", "y_image", "x_image")
+            if k in goes_ds.coords
+        }
+    )
+    if "goes_imager_projection" in goes_ds:
+        new_ds["goes_imager_projection"] = goes_ds["goes_imager_projection"]
+        from tobac_flow_tpu.data.abi import get_abi_lat_lon, get_abi_pixel_area
+
+        lat, lon = get_abi_lat_lon(new_ds)
+        _add(new_ds, "lat", lat, ("y", "x"), long_name="latitude", dtype=np.float32)
+        _add(new_ds, "lon", lon, ("y", "x"), long_name="longitude", dtype=np.float32)
+        _add(
+            new_ds, "area", get_abi_pixel_area(new_ds), ("y", "x"),
+            long_name="pixel area", units="km^2", dtype=np.float32,
+        )
+    return new_ds
+
+
 # -- step labels / label coords ----------------------------------------------
 
 

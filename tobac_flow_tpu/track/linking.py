@@ -23,7 +23,38 @@ __all__ = [
     "find_overlap_between_files",
     "process_linking_output",
     "relabel_file",
+    "link_labels",
 ]
+
+
+def link_labels(labels_a, labels_b, atol=0, rtol=0.0):
+    """Transitive overlap closure between two co-located label arrays
+    (reference ``linking.py:403-494`` recursive_linker/link_labels): returns
+    (groups_a, groups_b) where linked labels share a group id."""
+    a = np.asarray(getattr(labels_a, "values", labels_a)).ravel().astype(np.int64)
+    b = np.asarray(getattr(labels_b, "values", labels_b)).ravel().astype(np.int64)
+    max_a = int(a.max()) if a.size else 0
+    max_b = int(b.max()) if b.size else 0
+    wh = (a > 0) & (b > 0)
+    edges = np.empty((0, 2), np.int64)
+    if np.any(wh):
+        keys = a[wh] * (max_b + 1) + b[wh]
+        uniq, counts = np.unique(keys, return_counts=True)
+        ua = uniq // (max_b + 1)
+        ub = uniq % (max_b + 1)
+        a_counts = np.bincount(a, minlength=max_a + 1)
+        b_counts = np.bincount(b, minlength=max_b + 1)
+        frac = np.maximum(
+            counts / np.maximum(a_counts[ua], 1), counts / np.maximum(b_counts[ub], 1)
+        )
+        ok = (counts >= max(atol, 1)) & (frac >= rtol)
+        edges = np.stack([ua[ok], ub[ok] + max_a], axis=-1)
+    n = max_a + max_b + 1
+    graph = sparse.coo_matrix(
+        (np.ones(len(edges)), (edges[:, 0], edges[:, 1])), shape=(n, n)
+    )
+    comp = csgraph.connected_components(graph, directed=False)[1]
+    return comp[1 : max_a + 1], comp[max_a + 1 :]
 
 
 def find_overlap_between_labels(

@@ -196,3 +196,84 @@ def validate_anvils(dataset, glm_grid, margin=10, time_margin=3, thick=True):
     return _validate_objects(
         dataset, name, "anvil", prefix, glm_grid, margin, time_margin
     )
+
+
+def get_min_dist_for_objects(distance_grid, labels, index=None):
+    """Minimum distance-grid value within each labelled object
+    (reference ``validation.py:12-21``)."""
+    labels = _v(labels)
+    if index is None:
+        index = np.unique(labels[labels != 0])
+    out = apply_func_to_labels(
+        labels, _v(distance_grid), func=np.nanmin, index=index, default=np.inf
+    )
+    return np.atleast_1d(out), np.asarray(index)
+
+
+def get_marker_distance_ellipse(markers, time_margin=3, aspect=1.0):
+    """Marker distance with an ellipsoidal space/time metric: the spatial EDT
+    is computed per frame and grown across frames with a per-step penalty
+    (reference ``validation.py:24-49`` ellipse variant)."""
+    markers = _v(markers)
+    t = markers.shape[0]
+    frame_dist = [
+        distance_transform_edt(markers[i] == 0) if np.any(markers[i]) else None
+        for i in range(t)
+    ]
+    dist = np.full(markers.shape, np.inf)
+    for i in range(t):
+        for j in range(max(0, i - time_margin), min(t, i + time_margin + 1)):
+            if frame_dist[j] is not None:
+                penalty = abs(i - j) * aspect
+                dist[i] = np.minimum(dist[i], frame_dist[j] + penalty)
+    return dist
+
+
+def validate_cores_with_anvils(dataset, glm_grid, margin=10, time_margin=3):
+    """Core POD/FAR where only flashes inside detected anvils count
+    (reference ``validation.py`` *_with_anvils variants): the anvil mask
+    restricts the valid flash region, separating core placement skill from
+    anvil detection skill."""
+    anvil_mask = _v(dataset["thick_anvil_label"]) != 0
+    edge = get_edge_filter(
+        _v(dataset["core_label"]).shape, dataset.coords["t"], margin=margin
+    )
+    edge = edge & anvil_mask
+    out = validate_markers(
+        dataset["core_label"], glm_grid, None, edge, margin=margin,
+        time_margin=time_margin,
+    )
+    dataset.attrs["core_with_anvil_pod"] = out[2]
+    dataset.attrs["core_with_anvil_far"] = out[3]
+    return out[2], out[3]
+
+
+def validate_anvils_with_cores(dataset, glm_grid, margin=10, time_margin=3):
+    """Anvil POD/FAR restricted to anvils that have linked cores."""
+    anvils = np.asarray(dataset.coords["anvil"])
+    labels = _v(dataset["thick_anvil_label"])
+    if "core_anvil_index" in dataset:
+        with_core = np.unique(_v(dataset["core_anvil_index"]))
+        keep = np.isin(labels, with_core[with_core != 0])
+        labels = np.where(keep, labels, 0)
+    edge = get_edge_filter(labels.shape, dataset.coords["t"], margin=margin)
+    out = validate_markers(
+        labels, glm_grid, None, edge, margin=margin, time_margin=time_margin
+    )
+    dataset.attrs["anvil_with_core_pod"] = out[2]
+    dataset.attrs["anvil_with_core_far"] = out[3]
+    return out[2], out[3]
+
+
+def validate_anvil_markers(dataset, glm_grid, margin=10, time_margin=3):
+    """POD/FAR of the anvil marker stage (pre-watershed seeds)."""
+    if "anvil_marker_label" not in dataset:
+        raise KeyError("dataset has no anvil_marker_label (save_anvil_markers)")
+    edge = get_edge_filter(
+        _v(dataset["anvil_marker_label"]).shape, dataset.coords["t"], margin=margin
+    )
+    out = validate_markers(
+        dataset["anvil_marker_label"], glm_grid, None, edge, margin=margin,
+        time_margin=time_margin,
+    )
+    return out[2], out[3]
