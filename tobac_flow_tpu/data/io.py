@@ -80,6 +80,12 @@ def _blob_start_time(name):
         return None
 
 
+def get_goes_date(filename):
+    """Scan start time parsed from a GOES filename's _s token (reference
+    ``io.py`` date helper)."""
+    return _blob_start_time(str(filename))
+
+
 def find_abi_blobs(
     start_date,
     end_date=None,
