@@ -166,3 +166,16 @@ def test_smooth_flow_one_zero():
     f, b = flow_mod.smooth_flow_step(one, zero)
     assert np.allclose(np.asarray(f)[:5, :7], 0.5)
     assert np.allclose(np.asarray(b)[:5, :7], -0.5)
+
+
+@pytest.mark.parametrize("shift", [(1, 0), (-2, -1)])
+def test_tvl1_recovers_shift(shift):
+    sx, sy = shift
+    blob = make_blob(64, 48)
+    stack = np.stack(
+        [np.roll(blob, (-sy, -sx), (0, 1)), blob, np.roll(blob, (sy, sx), (0, 1))]
+    )
+    fwd, _ = models.batch_flow(stack, model="DualTVL1")
+    m = blob_mask(blob)
+    assert np.allclose(np.median(fwd[0][m][:, 0]), sx, atol=0.3)
+    assert np.allclose(np.median(fwd[0][m][:, 1]), sy, atol=0.3)

@@ -37,15 +37,21 @@ def _dis_factory():
     return functools.partial(dis_pair, params=DISParams())
 
 
+def _tvl1_factory():
+    from tobac_flow_tpu.models.tvl1 import TVL1Params, tvl1_pair
+
+    return functools.partial(tvl1_pair, params=TVL1Params())
+
+
 FLOW_MODELS = {
     "Farneback": lambda: functools.partial(farneback_pair, params=_FARNEBACK),
     "DIS": _dis_factory,
+    "DualTVL1": _tvl1_factory,
     "DeepFlow": None,
     "PCA": None,
     "SimpleFlow": None,
     "SparseToDense": None,
     "DenseRLOF": "not_implemented",
-    "DualTVL1": None,
 }
 
 
