@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import warnings
 from datetime import datetime, timedelta
-from pathlib import Path
 
 import numpy as np
 

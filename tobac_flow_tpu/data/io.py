@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import subprocess
 import warnings
 from datetime import datetime, timedelta
 from pathlib import Path

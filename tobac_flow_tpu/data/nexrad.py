@@ -15,7 +15,6 @@ arrays.  The site table ships as a bundled CSV of the public NWS site list
 
 from __future__ import annotations
 
-import warnings
 
 import numpy as np
 

@@ -11,7 +11,6 @@ layer; the ragged per-label bookkeeping runs on host.
 from __future__ import annotations
 
 import warnings
-from functools import partial
 
 import jax.numpy as jnp
 import numpy as np

@@ -19,8 +19,6 @@ algorithm onto TPU primitives:
 
 from __future__ import annotations
 
-import functools
-import math
 
 import jax
 import jax.numpy as jnp

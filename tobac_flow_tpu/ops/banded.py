@@ -17,7 +17,6 @@ with.  The exact-gather path (``ops/warp.py``) remains for parity testing.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

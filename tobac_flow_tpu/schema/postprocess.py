@@ -12,7 +12,7 @@ from functools import partial
 
 import numpy as np
 
-from tobac_flow_tpu.data.ncdataset import DataArray, Dataset
+from tobac_flow_tpu.data.ncdataset import DataArray
 from tobac_flow_tpu.utils.geo import get_mean_object_azimuth_and_speed
 from tobac_flow_tpu.utils.labels import apply_func_to_labels
 from tobac_flow_tpu.utils.stats import (

@@ -9,7 +9,7 @@ data-dependent renumbering steps that need dynamic shapes.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from tobac_flow_tpu.data.ncdataset import DataArray
-from tobac_flow_tpu.ops.morphology import distance_transform_edt, binary_dilation
+from tobac_flow_tpu.ops.morphology import distance_transform_edt
 from tobac_flow_tpu.utils.labels import apply_func_to_labels
 
 __all__ = [
