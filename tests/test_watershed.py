@@ -197,3 +197,29 @@ def test_smooth_field_oracle_iou():
         zflow(field.shape), zflow(field.shape), field, markers
     )
     assert iou_per_label(oracle, ours) >= 0.95
+
+
+def test_negative_marker_boundary_multigrid():
+    # regression: coarse cells straddling a mask boundary pool -1 markers and
+    # must NOT hand the fine rim an unbeatable -1 claim — the whole in-mask
+    # disc belongs to the interior marker (multigrid needs >= 32x32 frames)
+    h, w = 40, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    disc = (xx - 20) ** 2 + (yy - 20) ** 2 < 144
+    mask = np.stack([disc, disc])
+    dist = np.sqrt(
+        np.maximum(12 - np.sqrt((xx - 20.0) ** 2 + (yy - 20.0) ** 2), 0)
+    )
+    field = np.stack([-dist, -dist]).astype(np.float32)
+    markers = np.where(dist > 2.0, 1, 0)
+    markers = np.where(~disc, -1, markers)
+    markers = np.stack([markers, markers]).astype(np.int32)
+    st = np.zeros((3, 3, 3), bool)
+    st[1, 1, :] = True
+    st[1, :, 1] = True
+    out = watershed(
+        zflow(field.shape), zflow(field.shape), field, markers,
+        mask=mask, connectivity=st, multigrid=True,
+    )
+    assert np.all(out[mask] == 1)
+    assert np.all(out[~mask] == -1)

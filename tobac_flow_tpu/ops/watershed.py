@@ -327,7 +327,16 @@ def watershed(
         yi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 1)
         xi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 2)
         in_cov = (yi < (h // factor) * factor) & (xi < (w // factor) * factor)
-        adopt = mask_j & ~seeded & (up_meta != meta_max) & in_cov
+        # negative (barrier) coarse labels are never adopted: a boundary
+        # coarse cell seeded by pooled -1 markers would hand the fine rim an
+        # optimal-cost -1 claim that only a long claim-relaxation tail can
+        # overturn — which label-only convergence cuts off.  Left unlabeled,
+        # the rim is claimed by the arriving fine flood (a label change, so
+        # convergence waits for it).
+        up_label = (up_meta & ((1 << 23) - 1)) - 2
+        adopt = (
+            mask_j & ~seeded & (up_meta != meta_max) & (up_label >= 1) & in_cov
+        )
         state = (
             jnp.where(adopt, jnp.maximum(up_claim, field_j), state[0]),
             jnp.where(adopt, up_meta, state[1]),

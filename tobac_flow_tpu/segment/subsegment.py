@@ -32,7 +32,10 @@ def subsegment_labels(input_mask, shrink_factor: float = 0.1, peak_min_distance:
 
     shrunk = dist_norm > shrink_factor
 
-    # recover over-shrunk objects from local maxima of the distance field
+    # recover over-shrunk objects from local maxima of the distance field.
+    # skimage's peak_local_max returns isolated peak *points*; keeping whole
+    # plateaus would bridge separate shrunk markers through flat ridges, so
+    # reduce each connected plateau to its first (row-major) pixel.
     maxima = np.zeros_like(shrunk)
     for i in range(maxima.shape[0]):
         maxima[i] = np.asarray(
@@ -40,6 +43,12 @@ def subsegment_labels(input_mask, shrink_factor: float = 0.1, peak_min_distance:
                 dist_norm[i], min_distance=peak_min_distance, threshold_abs=1e-8
             )
         )
+    plateau = np.asarray(flat_label(maxima))
+    flat = plateau.ravel()
+    uniq, first = np.unique(flat, return_index=True)
+    points = np.zeros(flat.shape, dtype=bool)
+    points[first[uniq != 0]] = True
+    maxima = points.reshape(maxima.shape)
 
     markers = flat_label(np.logical_or(shrunk, maxima))
     markers = np.where(labels == 0, -1, markers).astype(np.int32)
