@@ -202,6 +202,13 @@ class Dataset:
         if not isinstance(value, DataArray):
             value = DataArray(value)
         value = value.rename(key)
+        # a 1-D variable named after its own dimension IS that dimension's
+        # coordinate (xarray semantics) — writing it to data_vars too would
+        # collide with the dimension scale in to_netcdf
+        if value.ndim == 1 and value.dims == (key,):
+            self.coords[key] = np.asarray(value.values)
+            self.data_vars.pop(key, None)
+            return
         # inherit dataset coords matching its dims
         for d in value.dims:
             if d in self.coords and d not in value.coords:
