@@ -80,6 +80,14 @@ class FarnebackParams:
         return isinstance(other, FarnebackParams) and self._key() == other._key()
 
 
+# poly_exp formulation switch (part of the trace, so flipping it re-jits):
+# batched = 2 multi-channel convs, unbatched = 9 single-channel passes.
+# Measured on TPU v5e (tools/ab_poly.py, 24x1024x1536 flow): unbatched 819 ms
+# vs batched 914 ms — XLA fuses the single-channel passes better than the
+# tiny-channel-count NCHW convolutions, so unbatched is the default.
+POLY_BATCHED = False
+
+
 def _sepconv(img, kernel, axis):
     """Correlate a (..., H, W) array along `axis` (-1 or -2) with a 1D kernel,
     edge-replicated borders.  Lowered to one conv_general_dilated (keeps the
@@ -135,18 +143,48 @@ def poly_exp(img, poly_n=5, poly_sigma=1.1):
     g, xg, xxg = map(lambda t: np.asarray(t), _poly_kernels(poly_n, poly_sigma)[:3])
     invG = _poly_kernels(poly_n, poly_sigma)[3]
 
-    gy = _sepconv(img, g, -2)
-    yg_ = _sepconv(img, xg, -2)
-    yyg_ = _sepconv(img, xxg, -2)
+    if not POLY_BATCHED:
+        gy = _sepconv(img, g, -2)
+        yg_ = _sepconv(img, xg, -2)
+        yyg_ = _sepconv(img, xxg, -2)
+        s = jnp.stack(
+            [
+                _sepconv(gy, g, -1),
+                _sepconv(gy, xg, -1),
+                _sepconv(yg_, g, -1),
+                _sepconv(gy, xxg, -1),
+                _sepconv(yyg_, g, -1),
+                _sepconv(yg_, xg, -1),
+            ],
+            axis=-1,
+        )
+        r = s @ jnp.asarray(invG.T, dtype=s.dtype)
+        return r[..., 1:3], r[..., 3:6]
 
-    s00 = _sepconv(gy, g, -1)
-    s10 = _sepconv(gy, xg, -1)
-    s01 = _sepconv(yg_, g, -1)
-    s20 = _sepconv(gy, xxg, -1)
-    s02 = _sepconv(yyg_, g, -1)
-    s11 = _sepconv(yg_, xg, -1)
-
-    s = jnp.stack([s00, s10, s01, s20, s02, s11], axis=-1)
+    # two multi-channel convolutions instead of nine single-channel passes:
+    # y-pass produces the 3 row-filtered channels in one sweep over the image,
+    # the x-pass combines them into the 6 moment maps (zero taps select the
+    # wanted (channel, kernel) pairs) — same sums, ~4x less HBM traffic
+    k = len(g)
+    r = k // 2
+    p = jnp.pad(img, ((r, r), (r, r)), mode="edge")[None, None]  # (1,1,H+,W+)
+    k1 = jnp.asarray(
+        np.stack([g, xg, xxg])[:, None, :, None], dtype=p.dtype
+    )  # (O=3, I=1, K, 1)
+    rows = jax.lax.conv_general_dilated(
+        p, k1, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # (1, 3, H, W+2r): channels = (gy, yg_, yyg_)
+    # output order (s00, s10, s01, s20, s02, s11); input channel, kernel:
+    pairs = ((0, g), (0, xg), (1, g), (0, xxg), (2, g), (1, xg))
+    k2 = np.zeros((6, 3, 1, k), dtype=np.float32)
+    for o, (i, kern) in enumerate(pairs):
+        k2[o, i, 0] = kern
+    s = jax.lax.conv_general_dilated(
+        rows, jnp.asarray(k2, dtype=p.dtype), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0]  # (6, H, W)
+    s = jnp.moveaxis(s, 0, -1)
     r = s @ jnp.asarray(invG.T, dtype=s.dtype)
     b = r[..., 1:3]
     A = r[..., 3:6]

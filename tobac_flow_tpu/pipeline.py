@@ -38,11 +38,13 @@ def _normalise_pair(prev, nxt):
     return jnp.round(a), jnp.round(b)
 
 
+@functools.partial(jax.jit, static_argnames=("params", "max_value"))
 def device_flow(data, params: FarnebackParams | None = None, max_value: float = 20.0):
     """Forward/backward flow for a device-resident (T, H, W) stack.
 
     Frame pairs are mapped with ``lax.map`` so the pairwise program compiles
-    once regardless of T.
+    once regardless of T.  Jitted at the top level too: called eagerly, the
+    op-by-op dispatch of the Farneback pyramid is orders of magnitude slower.
     """
     if params is None:
         params = FarnebackParams()
