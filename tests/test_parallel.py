@@ -92,3 +92,44 @@ def test_sharded_detect_step_runs(mesh):
     if m[1:-1].sum() > 50:
         med = np.median(fwd[1:-1][m[1:-1]][:, 0])
         assert 1.0 < med < 3.0
+
+
+def test_sharded_flow_label_zero_flow_matches_scipy():
+    from scipy import ndimage as ndi
+
+    from tobac_flow_tpu.parallel.label import sharded_flow_label
+
+    mesh = make_mesh(n_t=4, n_x=2)
+    rng = np.random.default_rng(7)
+    t, h, w = 8, 16, 64
+    mask = rng.random((t, h, w)) > 0.7
+    zf = np.zeros((t, h, w, 2), np.float32)
+    out = np.asarray(sharded_flow_label(mesh, mask, zf, zf, halo=4))
+
+    ref, _ = ndi.label(mask, structure=ndi.generate_binary_structure(3, 1))
+    # same partition: bijection between label sets on the mask
+    assert ((out != 0) == mask).all()
+    pairs = set(zip(out[mask].tolist(), ref[mask].tolist()))
+    assert len(pairs) == len({a for a, _ in pairs}) == len({b for _, b in pairs})
+
+
+def test_sharded_flow_label_links_through_flow():
+    from tobac_flow_tpu.parallel.label import sharded_flow_label
+
+    mesh = make_mesh(n_t=4, n_x=2)
+    t, h, w = 8, 16, 64
+    mask = np.zeros((t, h, w), bool)
+    # object hops 6 px in x per frame: never spatially adjacent between frames
+    for i in range(t):
+        mask[i, 6:10, 4 + 6 * i : 8 + 6 * i]= True
+    fwd = np.zeros((t, h, w, 2), np.float32)
+    bwd = np.zeros((t, h, w, 2), np.float32)
+    fwd[..., 0] = 6.0
+    bwd[..., 0] = -6.0
+
+    linked = np.asarray(sharded_flow_label(mesh, mask, fwd, bwd, halo=8))
+    assert len(np.unique(linked[mask])) == 1
+
+    zf = np.zeros_like(fwd)
+    unlinked = np.asarray(sharded_flow_label(mesh, mask, zf, zf, halo=8))
+    assert len(np.unique(unlinked[mask])) == t
