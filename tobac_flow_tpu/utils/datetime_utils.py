@@ -74,7 +74,10 @@ def _time_index(ds_time, when, side):
     when64 = np.datetime64(when)
     if side == "start":
         return int(np.searchsorted(times, when64, side="left"))
-    return int(np.searchsorted(times, when64, side="right"))
+    # end trim is exclusive: the reference slices to end_date - 1 s
+    # (reference ``utils/datetime_utils.py:77-79``), so a frame stamped
+    # exactly at end_date belongs to the next file, not this one
+    return int(np.searchsorted(times, when64, side="left"))
 
 
 def trim_file_start(ds, start_date):
