@@ -84,3 +84,24 @@ def test_link_two_windows(linked_files):
         both = (a != 0) & (b != 0)
         assert both.sum() > 0
         assert (a[both] == b[both]).mean() > 0.95
+
+
+def test_linking_cli_chain(linked_files):
+    """Drive the CLI wrappers: linking_parallel then relabel_linked_files."""
+    from tobac_flow_tpu.cli import linking_parallel, relabel_linked_files
+
+    tmp_path, f1, f2 = linked_files
+    out_dir = tmp_path / "cli_out"
+    links_path = linking_parallel.main(["-sd", str(out_dir), str(f1), str(f2)])
+    assert links_path.exists()
+    links = open_dataset(str(links_path))
+    assert "core_labels" in links
+
+    outputs = relabel_linked_files.main(
+        ["-links", str(links_path), "-sd", str(out_dir), str(f1), str(f2)]
+    )
+    assert len(outputs) == 2
+    for out in outputs:
+        assert out.name.startswith("relabeled_")
+        ds = open_dataset(str(out))
+        assert "core_label" in ds
