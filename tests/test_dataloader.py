@@ -105,3 +105,40 @@ def test_stripe_deviation_flags_stripes():
     dev = get_stripe_deviation(dqf)
     assert dev[7, 0] > 2
     assert dev[3, 0] < 2
+
+
+def test_seviri_dataloader_channels_and_gap_fill(tmp_path):
+    from datetime import datetime, timedelta
+
+    from tobac_flow_tpu.data.dataloader import seviri_dataloader
+
+    h, w = 12, 16
+    base = np.datetime64("2021-07-01T00:00")
+    # three frames at 15-min cadence with one 45-min gap after the second
+    offsets = [0, 15, 60]
+    paths = []
+    for k, off in enumerate(offsets):
+        ds = Dataset(coords={"t": np.array([base + np.timedelta64(off, "m")])})
+        ds["IR_108"] = DataArray(np.full((h, w), 250.0 + k), dims=("y", "x"))
+        ds["WV_062"] = DataArray(np.full((h, w), 230.0), dims=("y", "x"))
+        ds["WV_073"] = DataArray(np.full((h, w), 235.0 + k), dims=("y", "x"))
+        ds["IR_087"] = DataArray(np.full((h, w), 248.0), dims=("y", "x"))
+        ds["IR_120"] = DataArray(np.full((h, w), 246.0), dims=("y", "x"))
+        p = tmp_path / f"seviri_{k}.nc"
+        ds.to_netcdf(str(p))
+        paths.append(str(p))
+
+    bt, wvd, swd = seviri_dataloader(
+        datetime(2021, 7, 1), datetime(2021, 7, 1, 2), paths,
+        time_gap=timedelta(minutes=20),
+    )
+    vals = np.asarray(bt.values)
+    # gap fill inserts NaN frame(s) between 00:15 and 01:00
+    assert vals.shape[0] > 3
+    assert np.isnan(vals).any(axis=(1, 2)).sum() >= 1
+    real = vals[~np.isnan(vals[:, 0, 0])]
+    np.testing.assert_allclose(real[:, 0, 0], [250.0, 251.0, 252.0])
+    w0 = np.asarray(wvd.values)[0, 0, 0]
+    assert w0 == 230.0 - 235.0
+    s0 = np.asarray(swd.values)[0, 0, 0]
+    assert s0 == 248.0 - 246.0
