@@ -90,3 +90,61 @@ def test_regrid_glm_counts():
     assert counts[0, 5, 10] == 1
     assert counts[1, 20, 30] == 1
     assert counts.sum() == 2
+
+
+def test_abi_bt_planck_roundtrip():
+    from tobac_flow_tpu.data.abi import get_abi_bt
+
+    # C13 coefficients (typical GOES-16 values)
+    fk1, fk2, bc1, bc2 = 10803.3, 1392.74, 0.07550, 0.99975
+    bt_true = np.array([200.0, 250.0, 300.0])
+    # forward Planck: rad from bt
+    t_eff = bt_true * bc2 + bc1
+    rad = fk1 / (np.exp(fk2 / t_eff) - 1.0)
+    bt = get_abi_bt(rad, fk1, fk2, bc1, bc2)
+    np.testing.assert_allclose(bt, bt_true, atol=1e-3)
+
+
+def test_abi_ref_scales_and_clips():
+    from tobac_flow_tpu.data.abi import get_abi_ref
+
+    rad = np.array([-5.0, 0.0, 100.0])
+    ref = get_abi_ref(rad, kappa0=0.002)
+    np.testing.assert_allclose(ref, [0.0, 0.0, 0.2])
+
+
+def test_abi_da_dispatches_on_band():
+    from tobac_flow_tpu.data.abi import get_abi_da
+    from tobac_flow_tpu.data.ncdataset import DataArray, Dataset
+
+    ds = Dataset()
+    ds["Rad"] = DataArray(np.full((4, 4), 50.0), dims=("y", "x"))
+    ds["band_id"] = DataArray(np.array([2]), dims=("band",))
+    ds["kappa0"] = DataArray(np.float64(0.003), dims=())
+    ref = get_abi_da(ds)
+    np.testing.assert_allclose(ref, 0.15)
+
+    ds["band_id"] = DataArray(np.array([13]), dims=("band",))
+    for k, v in zip(
+        ("planck_fk1", "planck_fk2", "planck_bc1", "planck_bc2"),
+        (10803.3, 1392.74, 0.07550, 0.99975),
+    ):
+        ds[k] = DataArray(np.float64(v), dims=())
+    bt = get_abi_da(ds)
+    assert 150.0 < float(bt.mean()) < 350.0
+
+
+def test_rgb_composites_shapes_and_range():
+    from tobac_flow_tpu.data.abi import get_abi_deep_cloud_rgb, get_abi_rgb
+
+    ref = np.random.default_rng(0).uniform(0, 1, (8, 8))
+    rgb = get_abi_rgb(ref, ref * 0.8, ref * 0.6)
+    assert rgb.shape == (8, 8, 3)
+    assert rgb.min() >= 0 and rgb.max() <= 1
+
+    bt = np.random.default_rng(1).uniform(190, 290, (8, 8))
+    dc = get_abi_deep_cloud_rgb(bt, ref, sza=np.full((8, 8), 30.0))
+    assert dc.shape == (8, 8, 3)
+    assert dc.min() >= 0 and dc.max() <= 1
+    # colder clouds -> redder
+    assert dc[..., 0][bt < 220].mean() > dc[..., 0][bt > 260].mean()
