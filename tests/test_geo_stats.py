@@ -116,3 +116,36 @@ def test_groupby_apply_basic():
     vals = np.array([1.0, 3.0, 5.0, 7.0, 9.0, 100.0])
     out = groupby_apply(np.mean, groups, vals)
     assert np.allclose(out, [2.0, 7.0])  # group 0 excluded
+
+
+def test_solar_azimuth_directions():
+    from tobac_flow_tpu.utils.geo import get_sza_and_azi
+
+    # morning sun is east of a mid-latitude observer, afternoon sun west
+    morning = np.array([np.datetime64("2020-06-21T11:00")])  # ~7am local at 60W
+    afternoon = np.array([np.datetime64("2020-06-21T21:00")])  # ~5pm local
+    _, azi_am = get_sza_and_azi(morning, 35.0, -60.0)
+    _, azi_pm = get_sza_and_azi(afternoon, 35.0, -60.0)
+    assert 45 < float(np.ravel(azi_am)[0]) < 135  # eastish
+    assert 225 < float(np.ravel(azi_pm)[0]) < 315  # westish
+
+
+def test_satellite_viewing_angles_nadir_and_limb():
+    from tobac_flow_tpu.utils.geo import get_satellite_viewing_angles
+
+    zen_nadir, azi_nadir = get_satellite_viewing_angles(0.0, -75.0, sat_lon=-75.0)
+    assert float(np.ravel(zen_nadir)[0]) < 1.0
+    zen_limb, _ = get_satellite_viewing_angles(0.0, -155.0, sat_lon=-75.0)
+    assert float(np.ravel(zen_limb)[0]) > 75.0
+
+
+def test_pixel_lengths_and_area_scale_with_latitude():
+    from tobac_flow_tpu.utils.geo import get_pixel_area
+
+    lon, lat = np.meshgrid(np.arange(0, 3, 1.0), np.arange(0, 3, 1.0))
+    area_eq = get_pixel_area(lat, lon)
+    lon60, lat60 = np.meshgrid(np.arange(0, 3, 1.0), np.arange(60, 63, 1.0))
+    area_60 = get_pixel_area(lat60, lon60)
+    # 1-degree cells shrink roughly with cos(latitude)
+    ratio = np.nanmean(area_60) / np.nanmean(area_eq)
+    assert 0.35 < ratio < 0.65
