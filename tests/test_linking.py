@@ -105,3 +105,23 @@ def test_linking_cli_chain(linked_files):
         assert out.name.startswith("relabeled_")
         ds = open_dataset(str(out))
         assert "core_label" in ds
+
+
+def test_file_linker_streams_and_relabels(linked_files):
+    from tobac_flow_tpu.track.file_linker import FileLinker, LabelLinker
+
+    tmp_path, f1, f2 = linked_files
+    out_dir = tmp_path / "filelinker_out"
+    linker = FileLinker([f1, f2], out_dir)
+    links, outputs = linker.process_files()
+    assert len(outputs) == 2
+    for out in outputs:
+        assert out.exists()
+        assert out.name.startswith("linked_")
+
+    # LabelLinker resolves the same overlaps into the same global map
+    ll = LabelLinker(linker.overlap_results)
+    cmap = ll.label_map("core")
+    np.testing.assert_array_equal(cmap, links["core_labels"].values)
+    amap = ll.label_map("anvil")
+    assert amap.ndim == 1
