@@ -283,17 +283,35 @@ def _diff_func(x):
 
 def smooth_flow_step(forward_flow, backward_flow, method="linear"):
     """One smoothing pass: average each flow field with the negated,
-    correspondingly-warped opposite field (reference ``flow.py:530-568``)."""
-    from tobac_flow_tpu.ops.warp import warp_flow
+    correspondingly-warped opposite field (reference ``flow.py:530-568``).
+
+    The warp uses the banded-shift gather (``ops/banded.py``) for the
+    nearest/linear/cubic interpolants — this sits on the CLI-default flow
+    path (smoothing_passes=1), where an XLA general gather would dominate the
+    whole flow program.  Lanczos falls back to the exact gather path.
+    """
 
     def _smooth(primary, opposite):
-        warped = jnp.stack(
-            [
-                -warp_flow(opposite[..., 0], primary, method=method),
-                -warp_flow(opposite[..., 1], primary, method=method),
-            ],
-            axis=-1,
-        )
+        if method == "lanczos":
+            from tobac_flow_tpu.ops.warp import warp_flow
+
+            warped = jnp.stack(
+                [
+                    -warp_flow(opposite[..., 0], primary, method=method),
+                    -warp_flow(opposite[..., 1], primary, method=method),
+                ],
+                axis=-1,
+            )
+        else:
+            from tobac_flow_tpu.ops.banded import warp_banded_multi
+
+            both = warp_banded_multi(
+                jnp.moveaxis(jnp.asarray(opposite, dtype=jnp.float32), -1, 0),
+                primary,
+                radius=20,
+                method=method,
+            )
+            warped = -jnp.moveaxis(both, 0, -1)
         stacked = jnp.stack([jnp.asarray(primary, dtype=jnp.float32), warped], axis=0)
         cnt = jnp.sum(jnp.isfinite(stacked), axis=0)
         tot = jnp.nansum(stacked, axis=0)

@@ -3,8 +3,11 @@
 TPU-native counterpart of the reference's optional cv2.VariationalRefinement
 pass (``tobac_flow/flow.py:359,513-519``): a warped Horn–Schunck-style energy
 (brightness constancy linearised at the current flow + quadratic smoothness)
-minimised by fixed-point relinearisation with inner Jacobi sweeps.  Purely
-elementwise + 4-neighbour shifts, so it fuses into the flow program.
+minimised by fixed-point relinearisation with inner Jacobi sweeps.  The
+per-relinearisation image warp uses the banded-shift gather (``ops/banded``)
+— flow is bounded by the pipeline's ±20 px clip, and XLA's general gather is
+~200-500x elementwise on this TPU stack — so the whole pass is elementwise +
+static shifts and fuses into the flow program.
 """
 
 from __future__ import annotations
@@ -12,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from tobac_flow_tpu.models.farneback import _bilinear_sample_clamped
+from tobac_flow_tpu.ops.banded import warp_banded
 
 __all__ = ["variational_refine"]
 
@@ -50,15 +53,14 @@ def variational_refine(
 ):
     """Refine `flow` (H, W, 2) mapping i1 → i2. Images are (H, W) float
     (0..255 scale). Returns the refined flow."""
-    h, w = i1.shape
-    gx_grid = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    gy_grid = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    i2c = i2[..., None]
 
     def fixed_point(_, flow):
         u0 = flow[..., 0]
         v0 = flow[..., 1]
-        i2w = _bilinear_sample_clamped(i2c, gx_grid + u0, gy_grid + v0)[..., 0]
+        # banded warp with edge replication == clamped-coordinate bilinear
+        # sampling (displacements are clipped to the band, matching the
+        # pipeline's eventual ±20 px flow clip, reference flow.py:60-61)
+        i2w = warp_banded(i2, flow, radius=20, method="linear", pad_mode="edge")
         r = i2w - i1
         ix, iy = _grad(i2w)
         denom = alpha + ix * ix + iy * iy

@@ -171,5 +171,8 @@ def warp_banded_multi(
         return banded_gather_axis(
             a, jnp.round(dx).astype(jnp.int32), -1, radius, fill_value, pad_mode
         )
+    if method == "cubic":
+        a = banded_warp_axis_cubic(stacked, dy, -2, radius, fill_value, pad_mode)
+        return banded_warp_axis_cubic(a, dx, -1, radius, fill_value, pad_mode)
     a = banded_warp_axis(stacked, dy, -2, radius, fill_value, pad_mode)
     return banded_warp_axis(a, dx, -1, radius, fill_value, pad_mode)
