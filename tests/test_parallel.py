@@ -133,3 +133,88 @@ def test_sharded_flow_label_links_through_flow():
     zf = np.zeros_like(fwd)
     unlinked = np.asarray(sharded_flow_label(mesh, mask, zf, zf, halo=8))
     assert len(np.unique(unlinked[mask])) == t
+
+
+def test_sharded_watershed_label_crosses_x_tiles(mesh):
+    """A single marker in tile 0 must flood the whole domain across both
+    x tiles (regression: the per-sweep x-halo exchange)."""
+    from tobac_flow_tpu.parallel.watershed import sharded_watershed
+
+    t, h, w = 8, 8, 64
+    field = np.zeros((t, h, w), np.float32)
+    markers = np.zeros((t, h, w), np.int32)
+    markers[0, 4, 5] = 7
+    zf = np.zeros((t, h, w, 2), np.float32)
+    labels = np.asarray(
+        sharded_watershed(mesh, field, markers, zf, zf, max_rounds=128)
+    )
+    assert (labels == 7).all()
+
+
+def test_sharded_watershed_no_toroidal_wraparound(mesh):
+    """Domain edges are barriers: with a masked-out wall between a marker and
+    the far side, the far side must stay unlabeled.  A roll-based sweep
+    reaches it around the torus (the reference heap only walks in-mask
+    adjacency, ``_watershed.pyx:308-313``)."""
+    from tobac_flow_tpu.parallel.watershed import sharded_watershed
+
+    t, h, w = 8, 16, 64
+    field = np.zeros((t, h, w), np.float32)
+    mask = np.ones((t, h, w), bool)
+    mask[:, :, 30:35] = False  # x wall
+    markers = np.zeros((t, h, w), np.int32)
+    markers[:, :, 2] = 3
+    zf = np.zeros((t, h, w, 2), np.float32)
+    labels = np.asarray(
+        sharded_watershed(mesh, field, markers, zf, zf, mask=mask, max_rounds=128)
+    )
+    assert (labels[:, :, :30] == 3).all()
+    assert (labels[:, :, 30:] == 0).all()
+
+    # y wall: marker above, nothing below may be labeled through the wrap
+    mask = np.ones((t, h, w), bool)
+    mask[:, 7:10, :] = False
+    markers = np.zeros((t, h, w), np.int32)
+    markers[:, 1, :] = 5
+    labels = np.asarray(
+        sharded_watershed(mesh, field, markers, zf, zf, mask=mask, max_rounds=128)
+    )
+    assert (labels[:, :7, :] == 5).all()
+    assert (labels[:, 7:, :] == 0).all()
+
+
+def test_sharded_watershed_matches_single_chip(mesh):
+    """Sharded watershed partition agrees with the single-chip kernel on a
+    multi-marker field with flow-displaced temporal taps."""
+    from tobac_flow_tpu.ops.watershed import watershed
+    from tobac_flow_tpu.parallel.watershed import sharded_watershed
+
+    rng = np.random.default_rng(3)
+    t, h, w = 8, 16, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # several well-separated basins advecting in x
+    field = np.empty((t, h, w), np.float32)
+    centers = [(4, 8), (4, 28), (10, 18), (10, 44), (4, 52)]
+    for i in range(t):
+        field[i] = 10.0
+        for cy, cx in centers:
+            r2 = (yy - cy) ** 2 + (xx - cx - 1.0 * i) ** 2
+            field[i] = np.minimum(field[i], 0.1 * r2)
+    field += rng.normal(0, 1e-3, field.shape).astype(np.float32)
+    markers = np.zeros((t, h, w), np.int32)
+    for k, (cy, cx) in enumerate(centers):
+        markers[0, cy, cx] = k + 1
+    fwd = np.zeros((t, h, w, 2), np.float32)
+    bwd = np.zeros((t, h, w, 2), np.float32)
+    fwd[..., 0] = 1.0
+    bwd[..., 0] = -1.0
+
+    sharded = np.asarray(
+        sharded_watershed(mesh, field, markers, fwd, bwd, max_rounds=256)
+    )
+    single = np.asarray(
+        watershed(fwd, bwd, field, markers, multigrid=False)
+    )
+    assert (sharded != 0).all() and (single != 0).all()
+    agree = (sharded == single).mean()
+    assert agree > 0.99, f"only {agree:.3%} agreement with the single-chip kernel"

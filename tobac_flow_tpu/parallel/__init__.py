@@ -5,3 +5,4 @@ from tobac_flow_tpu.parallel.label import (  # noqa: F401
     make_sharded_flow_label,
     sharded_flow_label,
 )
+from tobac_flow_tpu.parallel.watershed import sharded_watershed  # noqa: F401

@@ -88,6 +88,16 @@ def _stencil_gather(data_h, flow, dyx, taps, fill):
     return outs
 
 
+def _pad_shift(a, dy, dx, fill):
+    """a[t, y + dy, x + dx] with constant fill at the tile edges (the x halo
+    supplies the true neighbour values; y edges are the domain boundary)."""
+    t, h, w = a.shape
+    padded = jnp.pad(
+        a, ((0, 0), (abs(dy), abs(dy)), (abs(dx), abs(dx))), constant_values=fill
+    )
+    return jax.lax.dynamic_slice(padded, (0, abs(dy) + dy, abs(dx) + dx), (t, h, w))
+
+
 def _nanmean_taps(taps):
     total = None
     count = None
@@ -134,10 +144,11 @@ def _detect_step_local(bt, wvd, swd, dt_minutes, params, hx, ws_sweeps):
         jnp.where(f_ok, next_tap - cur, 0.0) + jnp.where(b_ok, cur - prev_tap, 0.0)
     ) / jnp.maximum(f_ok.astype(jnp.float32) + b_ok.astype(jnp.float32), 1.0)
     growth = diff / dt_minutes
-    # spatial smoothing (in-plane cross)
+    # spatial smoothing (in-plane cross); NaN-padded shifts — a roll would
+    # wrap the domain toroidally in y (and leak across the x halo)
     sp = [growth]
     for ox, oy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-        sp.append(jnp.roll(jnp.roll(growth, oy, axis=1), ox, axis=2))
+        sp.append(_pad_shift(growth, oy, ox, nan))
     bt_growth = _nanmean_taps(sp)
 
     # -- core marker mask -----------------------------------------------
@@ -151,9 +162,7 @@ def _detect_step_local(bt, wvd, swd, dt_minutes, params, hx, ws_sweeps):
     field_h = halo_exchange_t(anvil_field, halo=1, fill_value=nan)
     taps_prev = _stencil_gather(field_h, bwd, -1, offsets, nan)
     taps_next = _stencil_gather(field_h, fwd, +1, offsets, nan)
-    taps_same = [
-        jnp.roll(jnp.roll(anvil_field, oy, axis=1), ox, axis=2) for ox, oy in offsets
-    ]
+    taps_same = [_pad_shift(anvil_field, oy, ox, nan) for ox, oy in offsets]
     centre_val = anvil_field
     # axis-permuted 3D Sobel weights over the (3,3,3) stencil
     base = np.multiply.outer(
@@ -175,91 +184,25 @@ def _detect_step_local(bt, wvd, swd, dt_minutes, params, hx, ws_sweeps):
     edges = jnp.where(edges > 0, edges + 1.0, edges) - anvil_field
     edges = jnp.where(jnp.isnan(anvil_field), jnp.inf, edges)
 
-    # -- seeded watershed sweeps ----------------------------------------
-    tl, h, wl = bt.shape[0], bt_x.shape[1], bt_x.shape[2]
-    pix = (
-        jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 0) * (h * wl)
-        + jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 1) * wl
-        + jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 2)
-        + 1
+    # -- seeded watershed: interior tiles, per-round ICI halo refresh ----
+    from tobac_flow_tpu.parallel.watershed import (
+        global_marker_labels,
+        sharded_watershed_local,
     )
-    shard_off = (t_idx * jax.lax.axis_size("x") + jax.lax.axis_index("x") + 1) * (
-        tl * h * wl
-    )
-    label = jnp.where(anvil_markers, pix + shard_off, 0)
-    claim = jnp.where(anvil_markers, jnp.float32(-jnp.inf), jnp.float32(jnp.inf))
-    hops = jnp.where(anvil_markers, 0, 1 << 30).astype(jnp.int32)
-    fwd_i = jnp.round(fwd).astype(jnp.int32)
-    bwd_i = jnp.round(bwd).astype(jnp.int32)
 
-    def ws_sweep(state, _):
-        claim, hops, label = state
-        # exchange ±1-frame halos of the state between time shards
-        def ext(a, fill):
-            return halo_exchange_t(a, halo=1, fill_value=fill)
-
-        cost = jnp.where(anvil_markers, edges, jnp.maximum(edges, claim))
-        cost_h = ext(cost, jnp.inf)
-        hops_h = ext(hops.astype(jnp.float32), 0.0).astype(jnp.int32)
-        label_h = ext(label.astype(jnp.float32), 0.0).astype(jnp.int32)
-        best = (claim, hops, label)
-        yi = jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 1)
-        xi = jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 2)
-        ti = jax.lax.broadcasted_iota(jnp.int32, (tl, h, wl), 0)
-
-        def consider(best, cq, hq, lq):
-            bc, bh, bl = best
-            cand_h = jnp.minimum(hq + 1, (1 << 30) - 1)
-            valid = lq != 0
-            better = (cq < bc) | ((cq == bc) & (cand_h < bh))
-            better = better & valid
-            return (
-                jnp.where(better, cq, bc),
-                jnp.where(better, cand_h, bh),
-                jnp.where(better, lq, bl),
-            )
-
-        # in-plane neighbours (static shifts)
-        for ox, oy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            cq = jnp.roll(jnp.roll(cost, oy, 1), ox, 2)
-            hq = jnp.roll(jnp.roll(hops, oy, 1), ox, 2)
-            lq = jnp.roll(jnp.roll(label, oy, 1), ox, 2)
-            best = consider(best, cq, hq, lq)
-        # temporal neighbours displaced by the rounded flow (banded gathers)
-        from tobac_flow_tpu.ops.banded import banded_gather_axis
-
-        for dt_, fl in ((-1, bwd_i), (1, fwd_i)):
-            nb = jax.lax.dynamic_slice_in_dim(cost_h, dt_ + 1, tl, axis=0)
-            nh = jax.lax.dynamic_slice_in_dim(hops_h, dt_ + 1, tl, axis=0)
-            nl = jax.lax.dynamic_slice_in_dim(label_h, dt_ + 1, tl, axis=0)
-            dy = fl[..., 1]
-            dx = fl[..., 0]
-            cq = banded_gather_axis(
-                banded_gather_axis(nb, dy, -2, 21, jnp.inf), dx, -1, 21, jnp.inf
-            )
-            hq = banded_gather_axis(
-                banded_gather_axis(nh, dy, -2, 21, 0), dx, -1, 21, 0
-            )
-            lq = banded_gather_axis(
-                banded_gather_axis(nl, dy, -2, 21, 0), dx, -1, 21, 0
-            )
-            best = consider(best, cq, hq, lq)
-        floodable = ~anvil_markers
-        return (
-            jnp.where(floodable, best[0], claim),
-            jnp.where(floodable, best[1], hops),
-            jnp.where(floodable, best[2], label),
-        ), None
-
-    state = (claim, hops, label)
-    for _ in range(ws_sweeps):  # static unroll: keeps shard_map vma simple
-        state, _ = ws_sweep(state, None)
-    claim, hops, label = state
-
-    # crop x halos from all outputs (the x axis is axis 2; flow arrays carry
-    # a trailing component axis)
+    # crop x halos back to the interior tile (the x axis is axis 2; flow
+    # arrays carry a trailing component axis)
     def crop(a):
         return a[:, :, hx:-hx] if hx else a
+
+    markers_int = global_marker_labels(crop(anvil_markers))
+    label = sharded_watershed_local(
+        crop(edges),
+        markers_int,
+        jnp.round(crop(fwd)).astype(jnp.int32),
+        jnp.round(crop(bwd)).astype(jnp.int32),
+        max_rounds=ws_sweeps,
+    )
 
     return (
         crop(fwd),
@@ -267,7 +210,7 @@ def _detect_step_local(bt, wvd, swd, dt_minutes, params, hx, ws_sweeps):
         crop(bt_growth),
         crop(core_markers),
         crop(edges),
-        crop(label),
+        label,
     )
 
 
