@@ -91,6 +91,8 @@ def apply_func_to_labels(
         min_label = min(int(np.min(labels)), 0)
         n_bins = int(np.max(labels)) - min_label + 1
         index = range(1, n_bins)
+    elif len(index) == 0:  # no objects at all (empty label coord)
+        return np.empty(0)
     else:
         min_label = min(int(np.min(index)) - 1, int(np.min(labels)), 0)
         n_bins = max(int(np.max(index)), int(np.max(labels))) - min_label + 1
