@@ -53,3 +53,45 @@ def test_multigrid_watershed_matches_flat(scene):
     assert iou(with_mg, without) >= 0.99
     agree = (with_mg == without).mean()
     assert agree > 0.99
+
+
+def test_midrun_checkpoint_bounds_memory(tmp_path):
+    """The mid-run checkpoint (reference dcc_detect_goes.py:191-213,275-284)
+    moves the core-label dataset to disk during anvil detection: outputs are
+    identical and the traced host-memory peak drops."""
+    import tracemalloc
+
+    import numpy as np
+
+    from tobac_flow_tpu.cli.common import DetectionOptions, run_detection
+    from tobac_flow_tpu.cli.dcc_detect_synthetic import make_scene
+    from tobac_flow_tpu.data.ncdataset import Dataset
+
+    ckpt_path = tmp_path / "mid.checkpoint.nc"
+
+    def run(checkpoint):
+        tracemalloc.start()
+        bt, wvd, swd = make_scene(12, 128, 160, 0)
+        ds = Dataset(
+            coords={"t": bt.coords["t"], "y": bt.coords["y"], "x": bt.coords["x"]}
+        )
+        opts = DetectionOptions(
+            save_label_props=False,
+            save_field_props=False,
+            checkpoint_path=ckpt_path if checkpoint else None,
+        )
+        out = run_detection(bt, wvd, swd, ds, opts=opts)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        return out, peak
+
+    plain, peak_plain = run(False)
+    assert not ckpt_path.exists()
+    ckpt, peak_ckpt = run(True)
+    assert not ckpt_path.exists()  # removed after the reopen
+
+    for var in ("core_label", "thick_anvil_label", "thin_anvil_label"):
+        np.testing.assert_array_equal(plain[var].values, ckpt[var].values)
+    assert peak_ckpt < peak_plain, (
+        f"checkpointed peak {peak_ckpt} not below plain peak {peak_plain}"
+    )

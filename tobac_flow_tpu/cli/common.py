@@ -66,6 +66,7 @@ class DetectionOptions:
         save_wvd=False,
         save_swd=False,
         save_anvil_markers=False,
+        checkpoint_path=None,
     ):
         self.__dict__.update(locals())
         del self.__dict__["self"]
@@ -110,6 +111,21 @@ def run_detection(
     print("Final detected core count: n =", core_labels.values.max(), flush=True)
     dataset["core_label"] = core_labels
 
+    # mid-run checkpoint to bound host memory (reference
+    # dcc_detect_goes.py:191-213, 275-284): the dataset with the core labels
+    # goes to disk and is freed for the anvil-detection peak; bt is freed too
+    # when nothing downstream needs it.  Reopened after thin-anvil detection.
+    checkpoint = Path(opts.checkpoint_path) if opts.checkpoint_path else None
+    if checkpoint is not None:
+        if opts.save_bt:
+            dataset["bt"] = bt
+        dataset.to_netcdf(checkpoint, compress=True, complevel=5)
+        print(datetime.now(), "Checkpointed core labels to", checkpoint, flush=True)
+        dataset = None
+        core_labels = None
+        if not (opts.save_field_props or opts.save_bt):
+            bt = None  # frees the frame when the caller passed its only ref
+
     print(datetime.now(), "Detecting thick anvil region", flush=True)
     anvil_markers = get_anvil_markers(
         flow,
@@ -152,9 +168,12 @@ def run_detection(
         thick_anvil_labels.values.max(),
         flush=True,
     )
-    dataset["thick_anvil_label"] = thick_anvil_labels
-    if opts.save_anvil_markers:
-        dataset["anvil_marker_label"] = anvil_markers
+    if dataset is not None:
+        dataset["thick_anvil_label"] = thick_anvil_labels
+        if opts.save_anvil_markers:
+            dataset["anvil_marker_label"] = anvil_markers
+    if checkpoint is not None and not opts.save_anvil_markers:
+        anvil_markers = None  # free before the thin-anvil watershed peak
 
     print(datetime.now(), "Detecting thin anvil region", flush=True)
     thin_anvil_labels = detect_anvils(
@@ -171,6 +190,15 @@ def run_detection(
     print(
         "Detected thin anvils: n =", thin_anvil_labels.values.max(), flush=True
     )
+    if checkpoint is not None:
+        from tobac_flow_tpu.data.ncdataset import open_dataset
+
+        print(datetime.now(), "Reopening checkpoint", checkpoint, flush=True)
+        dataset = open_dataset(checkpoint)
+        dataset["thick_anvil_label"] = thick_anvil_labels
+        if opts.save_anvil_markers and anvil_markers is not None:
+            dataset["anvil_marker_label"] = anvil_markers
+        checkpoint.unlink()
     dataset["thin_anvil_label"] = thin_anvil_labels
 
     print(datetime.now(), "Preparing output", flush=True)

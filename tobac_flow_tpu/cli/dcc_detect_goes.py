@@ -91,6 +91,7 @@ def main(argv=None):
         save_wvd=args.save_wvd,
         save_swd=args.save_swd,
         save_spatial_props=args.save_spatial_props,
+        checkpoint_path=save_path.with_suffix(".checkpoint.nc"),
     )
     dataset = run_detection(
         bt, wvd, swd, dataset, start_date=start_date, end_date=end_date, opts=opts

@@ -35,7 +35,12 @@ def main(argv=None):
         None, None, args.files, x0=args.x0, x1=args.x1, y0=args.y0, y1=args.y1
     )
     ds = Dataset(coords=dict(bt.coords))
-    opts = DetectionOptions(save_spatial_props=args.save_spatial_props)
+    save_dir = pathlib.Path(args.sd)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    opts = DetectionOptions(
+        save_spatial_props=args.save_spatial_props,
+        checkpoint_path=save_dir / "dcc_detect_seviri.checkpoint.nc",
+    )
     ds = run_detection(bt, wvd, swd, ds, opts=opts)
     ds.attrs.update(
         title="Detected DCCs in Meteosat SEVIRI observations (tobac-flow-tpu)",

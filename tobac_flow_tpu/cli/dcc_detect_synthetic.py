@@ -61,13 +61,16 @@ def main(argv=None):
 
     bt, wvd, swd = make_scene(args.t, args.y, args.x, args.seed)
     ds = Dataset(coords={"t": bt.coords["t"], "y": bt.coords["y"], "x": bt.coords["x"]})
-    opts = DetectionOptions(save_spatial_props=args.save_spatial_props)
-    ds = run_detection(bt, wvd, swd, ds, opts=opts)
 
     save_dir = Path(args.sd)
     save_dir.mkdir(parents=True, exist_ok=True)
     start = "20200601_000000"
     save_path = save_dir / f"detected_dccs_SYN_S{start}_X{args.x:04d}_Y{args.y:04d}.nc"
+    opts = DetectionOptions(
+        save_spatial_props=args.save_spatial_props,
+        checkpoint_path=save_path.with_suffix(".checkpoint.nc"),
+    )
+    ds = run_detection(bt, wvd, swd, ds, opts=opts)
     save_dataset(ds, save_path)
     return save_path
 
