@@ -148,3 +148,30 @@ def test_rgb_composites_shapes_and_range():
     assert dc.min() >= 0 and dc.max() <= 1
     # colder clouds -> redder
     assert dc[..., 0][bt < 220].mean() > dc[..., 0][bt > 260].mean()
+
+
+def test_nexrad_site_table_complete():
+    """All 160 operational WSR-88D sites, incl. OCONUS, with sane coords
+    (reference nexrad.py:234-572)."""
+    from tobac_flow_tpu.data.nexrad import (
+        NEXRAD_SITES,
+        get_nexrad_site_latlons,
+        get_nexrad_sitenames,
+    )
+
+    names = get_nexrad_sitenames()
+    assert len(names) == 160
+    # spot-check known sites across the network
+    for site, lat, lon in [
+        ("KTLX", 35.333, -97.278),   # Oklahoma City
+        ("PGUA", 13.456, 144.811),   # Guam (eastern longitude)
+        ("PHKI", 21.894, -159.553),  # Hawaii
+        ("PABC", 60.792, -161.876),  # Alaska
+        ("TJUA", 18.116, -66.078),   # Puerto Rico
+        ("RODN", 26.308, 127.903),   # Okinawa
+    ]:
+        assert site in NEXRAD_SITES
+        np.testing.assert_allclose(NEXRAD_SITES[site], (lat, lon), atol=1e-3)
+    lats, lons = get_nexrad_site_latlons(["KTLX", "PGUA"])
+    np.testing.assert_allclose(lats, [35.3331, 13.456], atol=1e-3)
+    assert ((lats > -90) & (lats < 90)).all()

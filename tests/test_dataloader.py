@@ -142,3 +142,111 @@ def test_seviri_dataloader_channels_and_gap_fill(tmp_path):
     assert w0 == 230.0 - 235.0
     s0 = np.asarray(swd.values)[0, 0, 0]
     assert s0 == 248.0 - 246.0
+
+
+class TestSeviriNat:
+    """From-scratch MSG native (.nat) format decode (data/seviri_nat.py)."""
+
+    def _fixture(self, tmp_path, t0, seed=0):
+        from datetime import datetime, timedelta
+
+        from tobac_flow_tpu.data.seviri_nat import write_nat
+
+        rng = np.random.default_rng(seed)
+        h, w = 24, 32
+        fields = {}
+        for ch, base in [
+            ("WV_062", 235.0), ("WV_073", 245.0), ("IR_087", 275.0),
+            ("IR_108", 280.0), ("IR_120", 272.0),
+        ]:
+            fields[ch] = (base + rng.normal(0, 5, (h, w))).astype(np.float32)
+        path = tmp_path / f"MSG4-SEVI-MSG15-0100-NA-{t0:%Y%m%d%H%M%S}.nat"
+        write_nat(path, fields, t0)
+        return path, fields
+
+    def test_10bit_roundtrip(self):
+        from tobac_flow_tpu.data.seviri_nat import pack_10bit, unpack_10bit
+
+        rng = np.random.default_rng(1)
+        v = rng.integers(0, 1024, 101).astype(np.uint16)
+        assert (unpack_10bit(pack_10bit(v), 101) == v).all()
+
+    def test_planck_roundtrip(self):
+        from tobac_flow_tpu.data.seviri_nat import bt_from_radiance, radiance_from_bt
+
+        t = np.linspace(180.0, 320.0, 29)
+        for ch in ("IR_108", "WV_062", "IR_087", "IR_120", "WV_073"):
+            np.testing.assert_allclose(
+                bt_from_radiance(radiance_from_bt(t, ch), ch), t, atol=1e-6
+            )
+
+    def test_decode_matches_written_fields(self, tmp_path):
+        from datetime import datetime
+
+        from tobac_flow_tpu.data.seviri_nat import decode_nat
+
+        t0 = datetime(2020, 6, 1, 12, 0)
+        path, fields = self._fixture(tmp_path, t0)
+        decoded, meta, scan_time = decode_nat(path)
+        assert scan_time == t0
+        assert meta["SelectedBandIDs"].count("X") == 5
+        for ch, truth in fields.items():
+            # 10-bit count quantisation bounds the decode error
+            np.testing.assert_allclose(decoded[ch], truth, atol=0.2)
+
+    def test_nat_dataloader_recipe(self, tmp_path):
+        from datetime import datetime, timedelta
+
+        from tobac_flow_tpu.data.seviri_nat import seviri_nat_dataloader
+
+        t0 = datetime(2020, 6, 1, 12, 0)
+        paths = []
+        truths = []
+        for i in range(3):
+            p, f = self._fixture(tmp_path, t0 + timedelta(minutes=15 * i), seed=i)
+            paths.append(p)
+            truths.append(f)
+        bt, wvd, twd = seviri_nat_dataloader(None, None, paths)
+        assert bt.values.shape == (3, 24, 32)
+        np.testing.assert_allclose(bt.values[0], truths[0]["IR_108"], atol=0.2)
+        np.testing.assert_allclose(
+            wvd.values[1],
+            truths[1]["WV_062"] - truths[1]["WV_073"],
+            atol=0.4,
+        )
+        np.testing.assert_allclose(
+            twd.values[2],
+            np.maximum(truths[2]["IR_087"] - truths[2]["IR_120"], 0),
+            atol=0.4,
+        )
+        assert (twd.values >= 0).all()
+
+    def test_nat_detect_cli(self, tmp_path):
+        from datetime import datetime, timedelta
+
+        from tobac_flow_tpu.cli import dcc_detect_seviri_nat
+        from tobac_flow_tpu.data.ncdataset import open_dataset
+        from tobac_flow_tpu.data.seviri_nat import write_nat
+
+        # a small advecting warm anomaly so the pipeline runs end to end
+        h, w = 48, 64
+        yy, xx = np.mgrid[0:h, 0:w]
+        paths = []
+        t0 = datetime(2020, 6, 1, 12, 0)
+        for i in range(6):
+            core = np.exp(-((xx - 16 - 2 * i) ** 2 + (yy - 20) ** 2) / 30.0)
+            fields = {
+                "WV_062": (235.0 + 12 * core).astype(np.float32),
+                "WV_073": (245.0 - 2 * core).astype(np.float32),
+                "IR_087": (275.0 - 20 * core).astype(np.float32),
+                "IR_108": (280.0 - (20.0 + 8 * i) * core).astype(np.float32),
+                "IR_120": (272.0 - 18 * core).astype(np.float32),
+            }
+            ti = t0 + timedelta(minutes=15 * i)
+            paths.append(
+                str(write_nat(tmp_path / f"f{i}.nat", fields, ti))
+            )
+        out = dcc_detect_seviri_nat.main(["-sd", str(tmp_path / "out")] + paths)
+        ds = open_dataset(str(out))
+        for var in ("core_label", "thick_anvil_label", "thin_anvil_label"):
+            assert var in ds.data_vars

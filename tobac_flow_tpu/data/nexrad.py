@@ -29,29 +29,90 @@ __all__ = [
     "filter_nexrad_sites",
 ]
 
-# public NWS WSR-88D site locations (site: lat, lon) — CONUS subset
+# Public NWS WSR-88D network site locations (site: lat, lon), all 160
+# operational radars incl. OCONUS (reference ``nexrad.py:234-572``; data
+# from the NOAA/ROC site list)
 NEXRAD_SITES = {
-    "KABR": (45.4558, -98.4131), "KAMA": (35.2334, -101.7092),
-    "KBIS": (46.7708, -100.7608), "KBMX": (33.1722, -86.7698),
-    "KBOX": (41.9558, -71.1369), "KBRO": (25.9159, -97.4189),
-    "KBUF": (42.9488, -78.7369), "KCLE": (41.4131, -81.8597),
-    "KCYS": (41.1519, -104.8061), "KDDC": (37.7608, -99.9689),
-    "KDVN": (41.6116, -90.5809), "KEAX": (38.8103, -94.2644),
-    "KFFC": (33.3636, -84.5658), "KFTG": (39.7866, -104.5458),
-    "KFWS": (32.5731, -97.3031), "KGLD": (39.3667, -101.7004),
-    "KHGX": (29.4719, -95.0789), "KICT": (37.6546, -97.4431),
-    "KILN": (39.4203, -83.8217), "KINX": (36.1750, -95.5644),
-    "KJAX": (30.4847, -81.7019), "KLIX": (30.3367, -89.8256),
-    "KLSX": (38.6989, -90.6828), "KLVX": (37.9753, -85.9439),
-    "KMAF": (31.9433, -102.1892), "KMHX": (34.7759, -76.8762),
-    "KMKX": (42.9678, -88.5506), "KMLB": (28.1133, -80.6542),
-    "KMPX": (44.8489, -93.5656), "KOAX": (41.3203, -96.3667),
-    "KOHX": (36.2472, -86.5625), "KOKX": (40.8656, -72.8639),
-    "KPAH": (37.0683, -88.7720), "KSGF": (37.2353, -93.4003),
-    "KSHV": (32.4508, -93.8414), "KTBW": (27.7056, -82.4017),
-    "KTLX": (35.3331, -97.2778), "KTWX": (38.9969, -96.2325),
-    "KUDX": (44.1250, -102.8297), "KUEX": (40.3208, -98.4419),
-    "TJUA": (18.1156, -66.0781),
+    "KABR": (45.4558, -98.4132), "KABX": (35.1498, -106.8240),
+    "KAKQ": (36.9840, -77.0073), "KAMA": (35.2335, -101.7092),
+    "KAMX": (25.6111, -80.4127), "KAPX": (44.9071, -84.7198),
+    "KARX": (43.8228, -91.1916), "KATX": (48.1946, -122.4958),
+    "KBBX": (39.4957, -121.6317), "KBGM": (42.1997, -75.9847),
+    "KBHX": (40.4987, -124.2919), "KBIS": (46.7709, -100.7606),
+    "KBLX": (45.8538, -108.6068), "KBMX": (33.1723, -86.7698),
+    "KBOX": (41.9559, -71.1370), "KBRO": (25.9160, -97.4190),
+    "KBUF": (42.9488, -78.7369), "KBYX": (24.5975, -81.7032),
+    "KCAE": (33.9488, -81.1184), "KCBW": (46.0392, -67.8066),
+    "KCBX": (43.4902, -116.2360), "KCCX": (40.9229, -78.0039),
+    "KCLE": (41.4132, -81.8597), "KCLX": (32.6555, -81.0423),
+    "KCRP": (27.7840, -97.5112), "KCXX": (44.5110, -73.1664),
+    "KCYS": (41.1519, -104.8060), "KDAX": (38.5012, -121.6778),
+    "KDDC": (37.7608, -99.9688), "KDFX": (29.2731, -100.2802),
+    "KDGX": (32.2797, -89.9846), "KDIX": (39.9471, -74.4108),
+    "KDLH": (46.8369, -92.2097), "KDMX": (41.7312, -93.7229),
+    "KDOX": (38.8258, -75.4401), "KDTX": (42.7000, -83.4718),
+    "KDVN": (41.6116, -90.5810), "KDYX": (32.5386, -99.2543),
+    "KEAX": (38.8102, -94.2645), "KEMX": (31.8937, -110.6304),
+    "KENX": (42.5866, -74.0640), "KEOX": (31.4606, -85.4592),
+    "KEPZ": (31.8731, -106.6979), "KESX": (35.7013, -114.8918),
+    "KEVX": (30.5650, -85.9216), "KEWX": (29.7040, -98.0285),
+    "KEYX": (35.0979, -117.5609), "KFCX": (37.0242, -80.2737),
+    "KFDR": (34.3620, -98.9767), "KFDX": (34.6342, -103.6186),
+    "KFFC": (33.3636, -84.5659), "KFSD": (43.5877, -96.7294),
+    "KFSX": (34.5744, -111.1984), "KFTG": (39.7866, -104.5458),
+    "KFWS": (32.5730, -97.3032), "KGGW": (48.2065, -106.6253),
+    "KGJX": (39.0620, -108.2137), "KGLD": (39.3668, -101.7004),
+    "KGRB": (44.4985, -88.1111), "KGRK": (30.7218, -97.3830),
+    "KGRR": (42.8939, -85.5449), "KGSP": (34.8833, -82.2201),
+    "KGWX": (33.8968, -88.3294), "KGYX": (43.8914, -70.2566),
+    "KHDX": (33.0769, -106.1201), "KHGX": (29.4719, -95.0789),
+    "KHNX": (36.3142, -119.6321), "KHPX": (36.7369, -87.2854),
+    "KHTX": (34.9305, -86.0837), "KICT": (37.6546, -97.4431),
+    "KICX": (37.5908, -112.8622), "KILN": (39.4203, -83.8217),
+    "KILX": (40.1505, -89.3368), "KIND": (39.7075, -86.2804),
+    "KINX": (36.1751, -95.5643), "KIWA": (33.2891, -111.6700),
+    "KIWX": (41.3586, -85.7000), "KJAX": (30.4847, -81.7019),
+    "KJGX": (32.6755, -83.3509), "KJKL": (37.5908, -83.3130),
+    "KLBB": (33.6541, -101.8141), "KLCH": (30.1254, -93.2161),
+    "KLGX": (47.1168, -124.1063), "KLIX": (30.3367, -89.8257),
+    "KLNX": (41.9580, -100.5760), "KLOT": (41.6044, -88.0844),
+    "KLRX": (40.7397, -116.8026), "KLSX": (38.6987, -90.6829),
+    "KLTX": (33.9892, -78.4291), "KLVX": (37.9753, -85.9438),
+    "KLWX": (38.9754, -77.4778), "KLZK": (34.8365, -92.2622),
+    "KMAF": (31.9434, -102.1894), "KMAX": (42.0811, -122.7173),
+    "KMBX": (48.3930, -100.8644), "KMHX": (34.7759, -76.8763),
+    "KMKX": (42.9678, -88.5506), "KMLB": (28.1132, -80.6541),
+    "KMOB": (30.6795, -88.2398), "KMPX": (44.8488, -93.5655),
+    "KMQT": (46.5311, -87.5487), "KMRX": (36.1685, -83.4018),
+    "KMSX": (47.0413, -113.9864), "KMTX": (41.2628, -112.4480),
+    "KMUX": (37.1552, -121.8985), "KMVX": (47.5279, -97.3257),
+    "KMXX": (32.5367, -85.7898), "KNKX": (32.9190, -117.0418),
+    "KNQA": (35.3448, -89.8735), "KOAX": (41.3203, -96.3668),
+    "KOHX": (36.2472, -86.5625), "KOKX": (40.8655, -72.8639),
+    "KOTX": (47.6804, -117.6268), "KPAH": (37.0684, -88.7720),
+    "KPBZ": (40.5317, -80.2180), "KPDT": (45.6906, -118.8529),
+    "KPOE": (31.1557, -92.9763), "KPUX": (38.4595, -104.1816),
+    "KRAX": (35.6655, -78.4898), "KRGX": (39.7542, -119.4621),
+    "KRIW": (43.0661, -108.4774), "KRLX": (38.3111, -81.7229),
+    "KRTX": (45.7150, -122.9651), "KSFX": (43.1056, -112.6860),
+    "KSGF": (37.2352, -93.4006), "KSHV": (32.4508, -93.8413),
+    "KSJT": (31.3713, -100.4925), "KSOX": (33.8176, -117.6360),
+    "KSRX": (35.2904, -94.3619), "KTBW": (27.7055, -82.4018),
+    "KTFX": (47.4595, -111.3855), "KTLH": (30.3976, -84.3289),
+    "KTLX": (35.3334, -97.2778), "KTWX": (38.9970, -96.2326),
+    "KTYX": (43.7556, -75.6800), "KUDX": (44.1248, -102.8298),
+    "KUEX": (40.3210, -98.4419), "KVAX": (30.8904, -83.0019),
+    "KVBX": (34.8383, -120.3978), "KVNX": (36.7406, -98.1279),
+    "KVTX": (34.4116, -119.1796), "KVWX": (38.2604, -87.7247),
+    "KYUX": (32.4953, -114.6567), "LPLA": (38.7303, -27.3217),
+    "PABC": (60.7920, -161.8765), "PACG": (56.8521, -135.5524),
+    "PAEC": (64.5115, -165.2949), "PAHG": (60.6156, -151.2832),
+    "PAIH": (59.4619, -146.3011), "PAKC": (58.6795, -156.6293),
+    "PAPD": (65.0351, -147.5014), "PGUA": (13.4560, 144.8111),
+    "PHKI": (21.8939, -159.5525), "PHKM": (20.1255, -155.7781),
+    "PHMO": (21.1328, -157.1803), "PHWA": (19.0950, -155.5689),
+    "RKJK": (35.9242, 126.6222), "RKSG": (37.2077, 127.2856),
+    "RODN": (26.3078, 127.9034), "TJUA": (18.1156, -66.0781),
 }
 
 

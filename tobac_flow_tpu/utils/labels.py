@@ -96,6 +96,8 @@ def apply_func_to_labels(
     else:
         min_label = min(int(np.min(index)) - 1, int(np.min(labels)), 0)
         n_bins = max(int(np.max(index)), int(np.max(labels))) - min_label + 1
+    if len(index) == 0:  # empty label raster with index=None
+        return np.empty(0)
 
     shifted = labels.ravel() - min_label
     counts = np.bincount(shifted, minlength=n_bins)
