@@ -179,3 +179,32 @@ def test_tvl1_recovers_shift(shift):
     m = blob_mask(blob)
     assert np.allclose(np.median(fwd[0][m][:, 0]), sx, atol=0.3)
     assert np.allclose(np.median(fwd[0][m][:, 1]), sy, atol=0.3)
+
+
+@pytest.mark.parametrize("model", ["SimpleFlow", "SparseToDense", "PCA", "DeepFlow"])
+@pytest.mark.parametrize("shift", [(1, 0), (-1, -1)])
+def test_new_models_recover_shift(model, shift):
+    """Every model in the zoo recovers a synthetic blob shift (reference
+    utils/flow_utils.py:37-77 implements all of these through cv2)."""
+    sx, sy = shift
+    blob = make_blob(48, 40)
+    stack = np.stack(
+        [np.roll(blob, (-sy, -sx), (0, 1)), blob, np.roll(blob, (sy, sx), (0, 1))]
+    )
+    fwd, bwd = models.batch_flow(stack, model=model)
+    m = blob_mask(blob)
+    tol = 0.5
+    assert np.allclose(np.median(fwd[0][m][:, 0]), sx, atol=tol), model
+    assert np.allclose(np.median(fwd[0][m][:, 1]), sy, atol=tol), model
+    assert np.allclose(np.median(bwd[1][m][:, 0]), -sx, atol=tol), model
+    assert np.allclose(np.median(bwd[1][m][:, 1]), -sy, atol=tol), model
+
+
+def test_all_reference_models_selectable():
+    """Registry parity: every reference model except DenseRLOF resolves to a
+    callable (reference utils/flow_utils.py:37-77)."""
+    for name in (
+        "Farneback", "DeepFlow", "PCA", "SimpleFlow", "SparseToDense",
+        "DIS", "DualTVL1",
+    ):
+        assert callable(models.select_of_model(name)), name

@@ -43,14 +43,41 @@ def _tvl1_factory():
     return functools.partial(tvl1_pair, params=TVL1Params())
 
 
+def _deepflow_factory():
+    from tobac_flow_tpu.models.deepflow import DeepFlowParams, deepflow_pair
+
+    return functools.partial(deepflow_pair, params=DeepFlowParams())
+
+
+def _pcaflow_factory():
+    from tobac_flow_tpu.models.pcaflow import PCAFlowParams, pcaflow_pair
+
+    return functools.partial(pcaflow_pair, params=PCAFlowParams())
+
+
+def _simpleflow_factory():
+    from tobac_flow_tpu.models.simpleflow import SimpleFlowParams, simpleflow_pair
+
+    return functools.partial(simpleflow_pair, params=SimpleFlowParams())
+
+
+def _sparse_to_dense_factory():
+    from tobac_flow_tpu.models.sparse_to_dense import (
+        SparseToDenseParams,
+        sparse_to_dense_pair,
+    )
+
+    return functools.partial(sparse_to_dense_pair, params=SparseToDenseParams())
+
+
 FLOW_MODELS = {
     "Farneback": lambda: functools.partial(farneback_pair, params=_FARNEBACK),
     "DIS": _dis_factory,
     "DualTVL1": _tvl1_factory,
-    "DeepFlow": None,
-    "PCA": None,
-    "SimpleFlow": None,
-    "SparseToDense": None,
+    "DeepFlow": _deepflow_factory,
+    "PCA": _pcaflow_factory,
+    "SimpleFlow": _simpleflow_factory,
+    "SparseToDense": _sparse_to_dense_factory,
     "DenseRLOF": "not_implemented",
 }
 
@@ -67,11 +94,6 @@ def select_of_model(model: str):
     if entry == "not_implemented":
         raise NotImplementedError(
             "DenseRLOF requires multi-channel input which is currently not implemented"
-        )
-    if entry is None:
-        raise NotImplementedError(
-            f"{model} is not yet implemented in the TPU-native model zoo; "
-            "use 'Farneback' or 'DIS'"
         )
     return entry()
 
