@@ -236,3 +236,30 @@ def test_remap_labels_bool_locations():
     labels = np.array([[1, 2, 0], [3, 2, 1]])
     out = remap_labels(labels, np.array([True, False, True]))
     assert np.array_equal(out, [[1, 0, 0], [2, 0, 1]])
+
+
+def test_flat_label_spiral_worst_case():
+    """A spiral component exercises the segmented-scan propagation's worst
+    case (many bends); partition and numbering must still match scipy."""
+    from scipy import ndimage as ndi
+
+    from tobac_flow_tpu.ops.ccl import flat_label
+
+    h = w = 33
+    mask = np.zeros((1, h, w), bool)
+    # square spiral inwards
+    top, bot, left, right = 0, h - 1, 0, w - 1
+    while left <= right and top <= bot:
+        mask[0, top, left : right + 1] = True
+        mask[0, top : bot + 1, right] = True
+        mask[0, bot, left : right + 1] = True
+        mask[0, top : bot + 1, left] = True
+        top += 2
+        bot -= 2
+        left += 2
+        right -= 2
+    out = np.asarray(flat_label(mask))
+    s = np.zeros((3, 3, 3), bool)
+    s[1] = ndi.generate_binary_structure(2, 1)
+    ref, _ = ndi.label(mask, structure=s)
+    np.testing.assert_array_equal(out, ref)
