@@ -20,10 +20,15 @@ from tobac_flow_tpu.utils.stats import (
     argmin_groupby,
     calc_combined_mean,
     calc_combined_std,
-    calc_max_cooling_rate,
+    cooling_rate_groupby,
     counts_groupby,
     get_weighted_proportions,
     groupby_apply,
+    growth_rate_groupby,
+    idxmax_cooling_rate_groupby,
+    idxmax_growth_rate_groupby,
+    idxmax_groupby,
+    idxmin_groupby,
     weighted_average_groupby,
     weighted_average_uncertainty_groupby,
     weighted_stats,
@@ -227,9 +232,17 @@ def add_weighted_proportions_to_dataset(
 # -- per-object property aggregation ------------------------------------------
 
 
-def _process_object(dataset, dim, obj_prefix, step_prefix, link_name, time_steps=3):
+def _process_object(
+    dataset, dim, obj_prefix, step_prefix, link_name, time_steps=3,
+    propagation_prefix=None,
+):
     """Start/end/average positions, areas and rate statistics for one object
-    family (the common core of process_{core,thick_anvil,thin_anvil}_properties)."""
+    family (the common core of process_{core,thick_anvil,thin_anvil}_properties).
+
+    ``propagation_prefix`` names the propagation direction/speed variables
+    (the reference calls the thick-anvil ones ``anvil_propagation_*`` and
+    emits none for thin anvils, postprocess.py:643-924); None skips them.
+    """
     objs = dataset.coords[dim]
     groups = _v(dataset[link_name])
     step_vals = dataset.coords[f"{step_prefix}"]
@@ -287,22 +300,53 @@ def _process_object(dataset, dim, obj_prefix, step_prefix, link_name, time_steps
         f"{obj_prefix}_max_area_{step_prefix}_index",
     )
 
-    if f"{step_prefix}_bt_mean" in dataset:
-        bt_mean = _v(dataset[f"{step_prefix}_bt_mean"])
-        dataset[f"{obj_prefix}_min_bt_t"] = _da(
-            argmin_groupby(step_t, bt_mean, groups, index=objs), dim,
-            f"{obj_prefix}_min_bt_t",
+    # per-field extrema and (core-only) rate statistics, conditional on which
+    # per-step statistics were computed (reference postprocess.py:400-642:
+    # bt/ctt/ctt_corrected take min + cooling rates, cth/cth_corrected take
+    # max + growth rates)
+    rates = obj_prefix == "core"
+    for field, kind in (
+        ("bt", "min"),
+        ("ctt", "min"),
+        ("ctt_corrected", "min"),
+        ("cth", "max"),
+        ("cth_corrected", "max"),
+    ):
+        var = f"{step_prefix}_{field}_mean"
+        if var not in dataset:
+            continue
+        vals = _v(dataset[var])
+        pick_t = argmin_groupby if kind == "min" else argmax_groupby
+        pick_i = idxmin_groupby if kind == "min" else idxmax_groupby
+        dataset[f"{obj_prefix}_{kind}_{field}_t"] = _da(
+            pick_t(step_t, vals, groups, index=objs), dim,
+            f"{obj_prefix}_{kind}_{field}_t",
         )
-        dataset[f"{obj_prefix}_max_cooling_rate"] = _da(
-            groupby_apply(
-                partial(calc_max_cooling_rate, t_steps=time_steps),
-                groups, bt_mean, step_t, index=objs,
-            ),
-            dim,
-            f"{obj_prefix}_max_cooling_rate",
+        dataset[f"{obj_prefix}_{kind}_{field}_{step_prefix}_index"] = _da(
+            pick_i(vals, np.asarray(step_vals), groups, index=objs), dim,
+            f"{obj_prefix}_{kind}_{field}_{step_prefix}_index",
+        )
+        if not rates:
+            continue
+        if field == "bt":
+            rate_name = f"{obj_prefix}_max_cooling_rate"
+        elif kind == "min":
+            rate_name = f"{obj_prefix}_{field}_cooling_rate"
+        else:
+            rate_name = f"{obj_prefix}_{field}_growth_rate"
+        rate_fn = cooling_rate_groupby if kind == "min" else growth_rate_groupby
+        idx_fn = (
+            idxmax_cooling_rate_groupby if kind == "min" else idxmax_growth_rate_groupby
+        )
+        dataset[rate_name] = _da(
+            rate_fn(vals, step_t, groups, index=objs), dim, rate_name
+        )
+        dataset[f"{rate_name}_{step_prefix}_index"] = _da(
+            idx_fn(vals, step_t, np.asarray(step_vals), groups, index=objs), dim,
+            f"{rate_name}_{step_prefix}_index",
         )
 
-    if has_latlon:
+    if has_latlon and propagation_prefix is not None:
         azi_speed = apply_func_to_labels(
             groups,
             _v(dataset[f"{step_prefix}_lon"]),
@@ -315,11 +359,11 @@ def _process_object(dataset, dim, obj_prefix, step_prefix, link_name, time_steps
         azi_speed = np.asarray(azi_speed, dtype=float)
         if azi_speed.ndim == 1:
             azi_speed = azi_speed.reshape(2, -1)
-        dataset[f"{obj_prefix}_propagation_direction"] = _da(
-            azi_speed[0], dim, f"{obj_prefix}_propagation_direction"
+        dataset[f"{propagation_prefix}_propagation_direction"] = _da(
+            azi_speed[0], dim, f"{propagation_prefix}_propagation_direction"
         )
-        dataset[f"{obj_prefix}_propagation_speed"] = _da(
-            azi_speed[1], dim, f"{obj_prefix}_propagation_speed"
+        dataset[f"{propagation_prefix}_propagation_speed"] = _da(
+            azi_speed[1], dim, f"{propagation_prefix}_propagation_speed"
         )
 
     # aggregate any per-step statistics up to the object level
@@ -362,14 +406,15 @@ def _process_object(dataset, dim, obj_prefix, step_prefix, link_name, time_steps
 
 def process_core_properties(dataset, time_steps=3):
     return _process_object(
-        dataset, "core", "core", "core_step", "core_step_core_index", time_steps
+        dataset, "core", "core", "core_step", "core_step_core_index", time_steps,
+        propagation_prefix="core",
     )
 
 
 def process_thick_anvil_properties(dataset):
     return _process_object(
         dataset, "anvil", "thick_anvil", "thick_anvil_step",
-        "thick_anvil_step_anvil_index",
+        "thick_anvil_step_anvil_index", propagation_prefix="anvil",
     )
 
 

@@ -21,6 +21,12 @@ __all__ = [
     "calc_combined_mean",
     "calc_combined_std",
     "calc_max_cooling_rate",
+    "calc_cooling_rate",
+    "calc_growth_rate",
+    "cooling_rate_groupby",
+    "growth_rate_groupby",
+    "idxmax_cooling_rate_groupby",
+    "idxmax_growth_rate_groupby",
     "weighted_covariance",
     "weighted_correlation",
     "mse",
@@ -157,6 +163,60 @@ def calc_max_cooling_rate(step_bt, step_t, t_steps=1):
     return (step_bt[0] - step_bt[-t_steps]) / (
         (step_t[0] - step_t[-t_steps]).astype("timedelta64[s]").astype(int) / 60
     )
+
+
+def _rate_gradient(step_vals, step_t):
+    """d(field)/dt [per minute] over the time-sorted steps (the reference's
+    ``differentiate('t') * 6e10`` idiom, stats_utils.py:317-351)."""
+    order = np.argsort(step_t)
+    vals = np.asarray(step_vals, dtype=float)[order]
+    tm = np.asarray(step_t)[order].astype("datetime64[ns]").astype(np.int64) / 6e10
+    if vals.size < 2:
+        return np.asarray([np.nan]), order
+    return np.gradient(vals, tm), order
+
+
+def calc_cooling_rate(step_vals, step_t):
+    """Maximum cooling (−min d/dt) rate per minute."""
+    grad, _ = _rate_gradient(step_vals, step_t)
+    return -np.nanmin(grad)
+
+
+def calc_growth_rate(step_vals, step_t):
+    """Maximum growth (max d/dt) rate per minute."""
+    grad, _ = _rate_gradient(step_vals, step_t)
+    return np.nanmax(grad)
+
+
+def cooling_rate_groupby(field, times, groups, index=None):
+    """Per-object maximum cooling rate (reference stats_utils.py:317-322)."""
+    return groupby_apply(calc_cooling_rate, groups, field, times, index=index)
+
+
+def growth_rate_groupby(field, times, groups, index=None):
+    return groupby_apply(calc_growth_rate, groups, field, times, index=index)
+
+
+def idxmax_cooling_rate_groupby(field, times, coord, groups, index=None):
+    """Step id where the cooling rate peaks (reference stats_utils.py:345-351)."""
+
+    def pick(vals, t, c):
+        grad, order = _rate_gradient(vals, t)
+        if not np.isfinite(grad).any():
+            return np.asarray(c)[0]
+        return np.asarray(c)[order[np.nanargmin(grad)]]
+
+    return groupby_apply(pick, groups, field, times, coord, index=index)
+
+
+def idxmax_growth_rate_groupby(field, times, coord, groups, index=None):
+    def pick(vals, t, c):
+        grad, order = _rate_gradient(vals, t)
+        if not np.isfinite(grad).any():
+            return np.asarray(c)[0]
+        return np.asarray(c)[order[np.nanargmax(grad)]]
+
+    return groupby_apply(pick, groups, field, times, coord, index=index)
 
 
 def weighted_covariance(x, y, w):
