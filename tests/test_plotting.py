@@ -40,3 +40,37 @@ def test_bias_plot_handles_nans(tmp_path):
     assert h[0].sum() == 3  # only pairwise-finite samples counted
     fig.savefig(tmp_path / "bias.png")
     plt.close(fig)
+
+
+def test_goes_figure_and_bound_helpers(tmp_path):
+    """The bound imshow/contour/quiver/colorbar helpers render without a CRS
+    (cartopy absent) — reference plotting.py:27-152 surface."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from tobac_flow_tpu.data.ncdataset import Dataset
+    from tobac_flow_tpu.plotting import add_gl_ticks, bias_plot, goes_figure
+
+    h, w = 24, 32
+    ds = Dataset(coords={"y": np.linspace(0.1, -0.1, h), "x": np.linspace(-0.1, 0.1, w)})
+    fig = goes_figure(ds, figsize=(4, 3))
+    ax = fig.subplot(111)
+    rng = np.random.default_rng(0)
+    data = rng.normal(280, 5, (h, w))
+    im = ax.imshow(data)
+    cb = ax.colorbar(im, location="right")
+    assert cb is not None
+    ax.contour(data, levels=3)
+    ax.contourf(data, levels=3)
+    ax.quiver(data * 0.01, data * 0.01, spacing=4)
+    ax.quiver(data * 0.01, data * 0.01, spacing=4, block_method="reduce")
+    add_gl_ticks(ax, object())  # no cartopy gridliner: must be a no-op
+    fig.savefig(tmp_path / "helpers.png")
+    plt.close(fig)
+
+    fig, ax = plt.subplots()
+    bias_plot(ax, data, data + rng.normal(0, 1, data.shape), weights=np.ones_like(data))
+    fig.savefig(tmp_path / "bias.png")
+    plt.close(fig)

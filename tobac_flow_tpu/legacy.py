@@ -16,11 +16,60 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
+    "FlowFunc",
+    "Flow_Func",
     "flow_convolve_nearest",
     "flow_sobel",
     "flow_network_watershed",
     "flow_label",
 ]
+
+
+class FlowFunc:
+    """The legacy engine's callable flow container with parabolic
+    interpolation in t (reference ``legacy_flow.py:9-35``):
+
+        dx(t) = t(t+1)/2 · dx_forward + t(t−1)/2 · dx_backward
+
+    so dx(1) = forward, dx(−1) = backward and dx(0) = 0, with a smooth
+    quadratic in between (the legacy stack samples fractional timesteps of
+    the motion field through this)."""
+
+    def __init__(self, flow_x_for, flow_x_back, flow_y_for, flow_y_back):
+        self.flow_x_for = np.asarray(flow_x_for)
+        self.flow_x_back = np.asarray(flow_x_back)
+        self.flow_y_for = np.asarray(flow_y_for)
+        self.flow_y_back = np.asarray(flow_y_back)
+        self.shape = self.flow_x_for.shape
+
+    def __getitem__(self, items):
+        return FlowFunc(
+            self.flow_x_for[items],
+            self.flow_x_back[items],
+            self.flow_y_for[items],
+            self.flow_y_back[items],
+        )
+
+    def __call__(self, t):
+        a = 0.5 * t * (t + 1)
+        b = 0.5 * t * (t - 1)
+        return (
+            a * self.flow_x_for + b * self.flow_x_back,
+            a * self.flow_y_for + b * self.flow_y_back,
+        )
+
+    @classmethod
+    def from_flow(cls, flow):
+        """Build from a modern Flow object (forward/backward (t,y,x,2))."""
+        return cls(
+            flow.forward_flow[..., 0],
+            flow.backward_flow[..., 0],
+            flow.forward_flow[..., 1],
+            flow.backward_flow[..., 1],
+        )
+
+
+Flow_Func = FlowFunc  # reference-spelling alias
 
 
 def _flow_obj(forward_flow, backward_flow):
