@@ -84,24 +84,119 @@ def _banded_pull(arrs, fills, disp_y, disp_x, radius):
     return outs
 
 
+def _scatter_axis(arrs, fills, s, axis, radius):
+    """out[p + s ê_axis] = in[p] for a traced integer s in [-radius, radius]:
+    one padded dynamic-slice per array (out[p] = in[p - s])."""
+    outs = []
+    for a, fill in zip(arrs, fills):
+        pads = [(0, 0)] * a.ndim
+        pads[axis % a.ndim] = (radius, radius)
+        padded = jnp.pad(a, pads, constant_values=fill)
+        starts = [0] * a.ndim
+        starts[axis % a.ndim] = radius - s
+        outs.append(jax.lax.dynamic_slice(padded, starts, list(a.shape)))
+    return outs
+
+
+def _lex_better(c1a, c2a, ma, c1b, c2b, mb):
+    """Lexicographic (claim, second-claim, meta) comparison: a < b."""
+    return (
+        (c1a < c1b)
+        | ((c1a == c1b) & (c2a < c2b))
+        | ((c1a == c1b) & (c2a == c2b) & (ma < mb))
+    )
+
+
+def _banded_scatter_min(cost_s, cost2_s, meta_s, disp_y, disp_x, radius, meta_max):
+    """Banded scatter-min: each source pixel p pushes (cost, cost2, meta) to
+    p + (disp_y(p), disp_x(p)); colliding pushes keep the lexicographic
+    minimum.  Two 1D passes — the y-pass transports each winner's
+    x-displacement so the x-pass lands it exactly (unlike the gather, whose
+    second pass must evaluate the displacement at the shifted position).
+    This is the *push* adjacency of the reference heap
+    (``_watershed.pyx:308-313``: neighbours at structure + index +
+    flow-at-source), which a destination-side pull cannot represent when the
+    forward and backward flows are not exact inverses."""
+    dy = jnp.clip(disp_y, -radius, radius)
+    dx = jnp.clip(disp_x, -radius, radius)
+    big = jnp.asarray(_INF, cost_s.dtype)
+
+    def pass_y(k, acc):
+        acc_c, acc_c2, acc_m, acc_dx = acc
+        s = k - radius
+        m = dy == s
+        cand = (
+            jnp.where(m, cost_s, big),
+            jnp.where(m, cost2_s, big),
+            jnp.where(m, meta_s, meta_max),
+            jnp.where(m, dx, 0),
+        )
+        cc, cc2, cm, cdx = _scatter_axis(
+            cand, (big, big, meta_max, 0), s, -2, radius
+        )
+        better = _lex_better(cc, cc2, cm, acc_c, acc_c2, acc_m)
+        return (
+            jnp.where(better, cc, acc_c),
+            jnp.where(better, cc2, acc_c2),
+            jnp.where(better, cm, acc_m),
+            jnp.where(better, cdx, acc_dx),
+        )
+
+    init = (
+        jnp.full(cost_s.shape, _INF, cost_s.dtype),
+        jnp.full(cost_s.shape, _INF, cost_s.dtype),
+        jnp.full(meta_s.shape, meta_max, meta_s.dtype),
+        jnp.zeros(dx.shape, dx.dtype),
+    )
+    acc_c, acc_c2, acc_m, acc_dx = jax.lax.fori_loop(
+        0, 2 * radius + 1, pass_y, init
+    )
+
+    def pass_x(k, acc):
+        out_c, out_c2, out_m = acc
+        s = k - radius
+        m = acc_dx == s
+        cand = (
+            jnp.where(m, acc_c, big),
+            jnp.where(m, acc_c2, big),
+            jnp.where(m, acc_m, meta_max),
+        )
+        cc, cc2, cm = _scatter_axis(cand, (big, big, meta_max), s, -1, radius)
+        better = _lex_better(cc, cc2, cm, out_c, out_c2, out_m)
+        return (
+            jnp.where(better, cc, out_c),
+            jnp.where(better, cc2, out_c2),
+            jnp.where(better, cm, out_m),
+        )
+
+    out0 = (init[0], init[1], init[2])
+    return jax.lax.fori_loop(0, 2 * radius + 1, pass_x, out0)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("taps", "radius", "n_iters", "spatial_per_temporal")
+    jax.jit,
+    static_argnames=("taps", "radius", "n_iters", "spatial_per_temporal", "grace"),
 )
 def _watershed_sweeps(
     field, markers, mask, fwd_int, bwd_int, state, taps, radius, n_iters,
-    spatial_per_temporal=8,
+    spatial_per_temporal=8, grace=2,
 ):
     """Run up to n_iters sweep rounds; returns (state, rounds_used).
 
-    State is (claim: f32, meta: int32) with meta = min(hops, 255) << 23 |
-    (label + 2): the lexicographic (claim, hops, label) comparison becomes a
-    two-key compare and every sweep moves one array less.  Labels must lie in
+    State is (claim: f32, claim2: f32, meta: int32) with
+    meta = min(hops, 255) << 23 | (label + 2).  ``claim`` is the minimax
+    path cost; ``claim2`` is the second-largest value along the optimal
+    path — the serial heap's pop clock orders fronts by their descending
+    path-value profile, so ties in the minimax cost (plateaus behind equal
+    barriers) resolve by the second barrier before falling back to the hop
+    count (the heap's push-age analogue).  Labels must lie in
     [-1, 2^23 - 3] (detection labels are far below; asserted by the wrapper).
     """
     t, h, w = field.shape
     seeded = markers != 0
     floodable = mask & ~seeded
     meta_max = jnp.int32(np.iinfo(np.int32).max)
+    ninf = jnp.float32(-jnp.inf)
 
     in_plane = tuple((dy, dx) for dt, dy, dx in taps if dt == 0)
     temporal = tuple((dt, dy, dx) for dt, dy, dx in taps if dt != 0)
@@ -124,49 +219,69 @@ def _watershed_sweeps(
             )
         return outs
 
-    def consider(best, cq, mq):
-        bc, bm = best
+    def consider(best, cq, c2q, mq):
+        bc, bc2, bm = best
         # bump the hop count of the incoming candidate (saturating at 255 —
         # an unconditional add would overflow the int32 at the cap)
         cand_m = mq + jnp.where(mq < hops_cap, hops_step, 0)
         valid = mq != meta_max  # unlabeled/out-of-frame sources never compete
-        better = (cq < bc) | ((cq == bc) & (cand_m < bm))
-        better = better & valid
-        return jnp.where(better, cq, bc), jnp.where(better, cand_m, bm)
+        better = _lex_better(cq, c2q, cand_m, bc, bc2, bm) & valid
+        return (
+            jnp.where(better, cq, bc),
+            jnp.where(better, c2q, bc2),
+            jnp.where(better, cand_m, bm),
+        )
 
     def sweep(state, include_temporal):
-        claim, meta = state
+        claim, claim2, meta = state
+        # extend the stored path pair through the pixel's own field value:
+        # (max, 2nd-max) of the path INCLUDING this pixel
         cost = jnp.where(seeded, field, jnp.maximum(field, claim))
-        best = (claim, meta)
+        cost2 = jnp.where(
+            seeded,
+            ninf,
+            jnp.where(field >= claim, claim, jnp.maximum(claim2, field)),
+        )
+        best = (claim, claim2, meta)
         for dy, dx in in_plane:
-            cq, mq = shift2((cost, meta), dy, dx, (_INF, meta_max))
-            best = consider(best, cq, mq)
+            cq, c2q, mq = shift2(
+                (cost, cost2, meta), dy, dx, (_INF, _INF, meta_max)
+            )
+            best = consider(best, cq, c2q, mq)
         if include_temporal:
+            # the heap's temporal graph is directed by SOURCE-side flow:
+            # p@t pushes to p + (dy,dx) + fwd(p) @ t+1 and to
+            # p + (dy,dx) + bwd(p) @ t-1 (_watershed.pyx:308-313).  A tap
+            # (dt, dy, dx) therefore receives, at the current frame, pushes
+            # from frame t-dt displaced by that frame's own flow — an exact
+            # banded scatter (destination-side pulls are a different graph
+            # wherever fwd and bwd are not mutual inverses, e.g. growing
+            # anvil edges).
             for dt, dy, dx in temporal:
-                flow_i = fwd_int if dt == 1 else bwd_int
-                cs = _shift_t(cost, dt, _INF)
-                ms = _shift_t(meta, dt, meta_max)
-                cq, mq = _banded_pull(
-                    (cs, ms),
-                    (_INF, meta_max),
-                    flow_i[..., 1] + dy,
-                    flow_i[..., 0] + dx,
-                    radius,
+                src_flow = fwd_int if dt == 1 else bwd_int
+                cs = _shift_t(cost, -dt, _INF)
+                c2s = _shift_t(cost2, -dt, _INF)
+                ms = _shift_t(meta, -dt, meta_max)
+                fs = _shift_t(src_flow, -dt, 0)
+                cq, c2q, mq = _banded_scatter_min(
+                    cs, c2s, ms, fs[..., 1] + dy, fs[..., 0] + dx, radius,
+                    meta_max,
                 )
-                best = consider(best, cq, mq)
+                best = consider(best, cq, c2q, mq)
         return (
             jnp.where(floodable, best[0], claim),
-            jnp.where(floodable, best[1], meta),
+            jnp.where(floodable, best[1], claim2),
+            jnp.where(floodable, best[2], meta),
         )
 
     label_mask = jnp.int32((1 << 23) - 1)
 
     def cond(carry):
         _, quiet, it = carry
-        # stop after two consecutive rounds without label changes (claims
+        # stop after `grace` consecutive rounds without label changes (claims
         # keep relaxing long after the assignment stabilises; label-only
-        # convergence with a grace round avoids paying for that tail)
-        return jnp.logical_and(quiet < 2, it < n_iters)
+        # convergence with a grace window avoids paying for that tail)
+        return jnp.logical_and(quiet < grace, it < n_iters)
 
     def body(carry):
         state, quiet, it = carry
@@ -174,7 +289,7 @@ def _watershed_sweeps(
         for _ in range(spatial_per_temporal):
             new = sweep(new, False)
         labels_changed = jnp.any(
-            (new[1] & label_mask) != (state[1] & label_mask)
+            (new[2] & label_mask) != (state[2] & label_mask)
         )
         quiet = jnp.where(labels_changed, 0, quiet + 1)
         return new, quiet, it + 1
@@ -218,6 +333,7 @@ def watershed(
     radius: int | None = None,
     return_device: bool = False,
     multigrid: bool = True,
+    grace: int = 2,
 ):
     """Watershed segmentation of a (T, H, W) sequence in the moving frame
     (API parity: reference ``watershed.py:17-168``).
@@ -282,6 +398,7 @@ def watershed(
     meta0 = jnp.where(seeded, markers_j + 2, meta_max).astype(jnp.int32)
     state = (
         jnp.where(seeded, -jnp.inf, jnp.inf).astype(jnp.float32),
+        jnp.where(seeded, -jnp.inf, jnp.inf).astype(jnp.float32),
         meta0,
     )
 
@@ -305,6 +422,7 @@ def watershed(
         cseeded = cmark != 0
         cstate = (
             jnp.where(cseeded, -jnp.inf, jnp.inf).astype(jnp.float32),
+            jnp.where(cseeded, -jnp.inf, jnp.inf).astype(jnp.float32),
             jnp.where(cseeded, cmark + 2, meta_max).astype(jnp.int32),
         )
         cradius = max(radius // factor, 1) if radius is not None else 5
@@ -313,14 +431,15 @@ def watershed(
         while cdone < cmax:
             n = min(chunk_iters, cmax - cdone)
             cstate, used = _watershed_sweeps(
-                cf, cmark, cmask, cfwd_i, cbwd_i, cstate, taps, cradius, n
+                cf, cmark, cmask, cfwd_i, cbwd_i, cstate, taps, cradius, n,
+                grace=grace,
             )
             used = int(used)
             cdone += used
             if used < n:
                 break
         up_claim = _upsample_nearest(cstate[0], factor, h, w)
-        up_meta = _upsample_nearest(cstate[1], factor, h, w)
+        up_meta = _upsample_nearest(cstate[2], factor, h, w)
         # adopt the coarse solution as an upper-bound initial state wherever
         # the fine pixel is floodable and the coarse label is set; the
         # edge-replicated crop margin is excluded (no upper-bound guarantee)
@@ -337,23 +456,28 @@ def watershed(
         adopt = (
             mask_j & ~seeded & (up_meta != meta_max) & (up_label >= 1) & in_cov
         )
+        adopted_claim = jnp.maximum(up_claim, field_j)
         state = (
-            jnp.where(adopt, jnp.maximum(up_claim, field_j), state[0]),
-            jnp.where(adopt, up_meta, state[1]),
+            jnp.where(adopt, adopted_claim, state[0]),
+            # the coarse second-max is not an upper bound on the fine grid;
+            # claim2 <= claim always holds, so claim itself is the safe one
+            jnp.where(adopt, adopted_claim, state[1]),
+            jnp.where(adopt, up_meta, state[2]),
         )
 
     done = 0
     while done < max_iters:
         n = min(chunk_iters, max_iters - done)
         state, used = _watershed_sweeps(
-            field_j, markers_j, mask_j, fwd_int, bwd_int, state, taps, radius, n
+            field_j, markers_j, mask_j, fwd_int, bwd_int, state, taps, radius, n,
+            grace=grace,
         )
         used = int(used)
         done += used
         if used < n:  # converged inside the chunk
             break
 
-    meta = state[1]
+    meta = state[2]
     label = jnp.where(meta == meta_max, 0, (meta & ((1 << 23) - 1)) - 2)
     label = jnp.where(seeded, markers_j, label)
     out = jnp.where((markers_j != 0) | (mask_j & (label != 0)), label, 0)
