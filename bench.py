@@ -1,18 +1,30 @@
 """Benchmark harness: flow + semi-Lagrangian detection fields + watershed.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N, ...}
 
-The workload is the BASELINE.json synthetic config scaled to a GOES-like
-frame (advecting growing storm; same compute path as dcc_detect:
-create_flow -> growth rate -> uphill-Sobel edge field -> flow watershed).
-Runs on whatever jax.devices() provides (the real TPU chip under axon).
+The workload is a GOES-like tile with **24 competing storm cells** (so the
+watershed runs a genuine multi-marker minimax assignment, and label
+agreement vs the CPU oracle is meaningful — not just flood extent).  Two
+compute paths are measured on whatever jax.devices() provides (the real TPU
+chip under axon):
 
-The CPU baseline is the reference's compute path reconstructed with the same
-libraries the reference uses (cv2 Farneback + cv2.remap warps + a serial
-heap watershed, cf. /root/reference/tobac_flow/flow.py,convolve.py,
-_watershed.pyx); it is measured once on a scaled-down config and cached in
-bench_cpu_baseline.json as a per-pixel rate.
+  value / vs_baseline           — fused detect path (flow + growth +
+                                  uphill-Sobel edges + multi-marker
+                                  watershed), the dcc_detect compute core
+  cli_flow_* keys               — the CLI-default flow configuration
+                                  (vr_steps=1, smoothing_passes=1, cubic;
+                                  cli/common.py:DetectionOptions), fully
+                                  banded/gather-free on device
+  ccl_* keys                    — device connected-component labelling
+                                  (ops/ccl.py) on the per-frame core mask
+
+The CPU baselines are the reference's compute paths reconstructed with the
+same libraries the reference uses (cv2 pyramidal Farneback +
+cv2.VariationalRefinement + cv2.remap warps + scipy.ndimage.label + a serial
+heap watershed, cf. /root/reference/tobac_flow/flow.py, convolve.py,
+_watershed.pyx); they are measured once on a scaled-down config and cached
+in bench_cpu_baseline.json as per-pixel rates.
 """
 
 from __future__ import annotations
@@ -31,88 +43,220 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 REPO = Path(__file__).parent
 BASELINE_FILE = REPO / "bench_cpu_baseline.json"
+BASELINE_VERSION = 2  # bump when the scene or measured paths change
 
 # benchmark workload (TPU): GOES-like tile (sized to single-chip HBM)
 T, H, W = 24, 1024, 1536
 # CPU baseline workload (same spatial size, fewer frames, rate extrapolates)
 T_CPU = 6
+N_CELLS = 24
+
+
+def _n_cells(h, w):
+    """Cell count scaled to frame area (small parity scenes get fewer cells
+    so the cores stay separated)."""
+    return int(min(N_CELLS, max(6, h * w // 8000)))
+
+
+def _cell_params(h, w, n_cells=None, seed=0):
+    """Storm-cell placement/shape constants shared by the host and device
+    scene builders (host RNG so the device build needs no traced randoms).
+
+    Cells sit on a jittered grid: separation is guaranteed so the core
+    threshold yields one marker label per cell, while the surrounding anvil
+    shields touch — the watershed genuinely arbitrates between competing
+    basins.  All cells advect with the same velocity, so the separation is
+    preserved over the whole window."""
+    if n_cells is None:
+        n_cells = _n_cells(h, w)
+    rng = np.random.default_rng(seed)
+    cols = int(np.ceil(np.sqrt(n_cells * 1.5)))
+    rows = int(np.ceil(n_cells / cols))
+    pitch_y = 0.72 * h / rows
+    pitch_x = 0.5 * w / cols
+    ks = np.arange(n_cells)
+    gy = 0.14 * h + (ks // cols + 0.5) * pitch_y
+    gx = 0.05 * w + (ks % cols + 0.5) * pitch_x
+    cy = (gy + rng.uniform(-0.2, 0.2, n_cells) * pitch_y).astype(np.float32)
+    cx = (gx + rng.uniform(-0.2, 0.2, n_cells) * pitch_x).astype(np.float32)
+    pitch = min(pitch_y, pitch_x)
+    radius = rng.uniform(pitch / 6.0, pitch / 3.5, n_cells).astype(np.float32)
+    depth = rng.uniform(45.0, 85.0, n_cells).astype(np.float32)
+    return cy, cx, radius, depth
 
 
 def make_scene(t, h, w, seed=0):
+    """Host multi-cell scene: N_CELLS advecting, deepening storm cells."""
     rng = np.random.default_rng(seed)
+    cy, cx, radius, depth = _cell_params(h, w, seed=seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     bt = np.empty((t, h, w), np.float32)
     for i in range(t):
-        cx = w * 0.25 + 3.0 * i
-        cy = h * 0.4 + 1.5 * i
-        r = h / 12 + i * 2
-        core = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r * r))
-        bt[i] = 290.0 - (30.0 + 3.0 * i) * core
+        grow = min(0.4 + 0.6 * i / max(t - 1, 1), 1.0)
+        acc = np.zeros((h, w), np.float32)
+        for k in range(len(cy)):
+            r2 = (xx - cx[k] - 3.0 * i) ** 2 + (yy - cy[k] - 1.5 * i) ** 2
+            acc += depth[k] * grow * np.exp(-r2 / (2 * radius[k] ** 2))
+        bt[i] = 290.0 - np.minimum(acc, 85.0)
     bt += rng.normal(0, 0.3, bt.shape).astype(np.float32)
     return bt
 
 
-def tpu_pipeline(bt, dt_minutes=5.0):
-    """The measured TPU path: fused device-resident flow + growth + edges +
-    watershed (tobac_flow_tpu.pipeline.fused_flow_watershed); only scalar
-    summaries cross the host boundary."""
-    import jax.numpy as jnp
-
-    from tobac_flow_tpu.pipeline import fused_flow_watershed
-
-    fwd, growth, edges, labels = fused_flow_watershed(bt, dt_minutes)
-    return float(jnp.nansum(growth)), int((labels != 0).sum())
-
-
 def make_scene_device(t, h, w):
-    """Synthetic scene generated on device (no host upload)."""
+    """The same synthetic scene generated on device (no host upload)."""
     import jax
     import jax.numpy as jnp
 
+    cy, cx, radius, depth = _cell_params(h, w)
     yy = jax.lax.broadcasted_iota(jnp.float32, (t, h, w), 1)
     xx = jax.lax.broadcasted_iota(jnp.float32, (t, h, w), 2)
     ti = jax.lax.broadcasted_iota(jnp.float32, (t, h, w), 0)
-    cx = w * 0.25 + 3.0 * ti
-    cy = h * 0.4 + 1.5 * ti
-    r = h / 12 + ti * 2
-    core = jnp.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r * r))
-    bt = 290.0 - (30.0 + 3.0 * ti) * core
+    grow = jnp.minimum(0.4 + 0.6 * ti / max(t - 1, 1), 1.0)
+    acc = jnp.zeros((t, h, w), jnp.float32)
+    for k in range(len(cy)):
+        r2 = (xx - float(cx[k]) - 3.0 * ti) ** 2 + (
+            yy - float(cy[k]) - 1.5 * ti
+        ) ** 2
+        acc = acc + float(depth[k]) * grow * jnp.exp(
+            -r2 / (2 * float(radius[k]) ** 2)
+        )
+    bt = 290.0 - jnp.minimum(acc, 85.0)
     noise = jax.random.normal(jax.random.PRNGKey(0), (t, h, w)) * 0.3
     return bt + noise
 
 
-def cpu_reference_pipeline(bt, dt_minutes=5.0):
-    """Reference-equivalent CPU path (cv2 + serial heap watershed)."""
+def make_markers(bt_np):
+    """Multi-label watershed seeds: 3D 6-connected components of the core
+    threshold (one label per storm cell), numbered by scipy raster order.
+    Shared verbatim by the TPU and CPU pipelines so every disagreement
+    measured downstream is a watershed-assignment difference."""
+    from scipy import ndimage
+
+    field = np.clip((260.0 - np.asarray(bt_np)) / 10.0, 0.0, 1.0)
+    markers, n = ndimage.label(field >= 1.0)
+    return markers.astype(np.int32), int(n)
+
+
+def tpu_pipeline(bt, markers, dt_minutes=5.0):
+    """The measured TPU path: fused device-resident flow + growth + edges +
+    multi-marker watershed (tobac_flow_tpu.pipeline.fused_flow_watershed);
+    only scalar summaries cross the host boundary."""
+    import jax.numpy as jnp
+
+    from tobac_flow_tpu.pipeline import fused_flow_watershed
+
+    fwd, growth, edges, labels = fused_flow_watershed(
+        bt, dt_minutes, markers=markers
+    )
+    return float(jnp.nansum(growth)), int((labels != 0).sum())
+
+
+def tpu_cli_flow(bt):
+    """The CLI-default flow configuration on device (DetectionOptions:
+    vr_steps=1, smoothing_passes=1, interp_method='cubic') — banded
+    variational refinement + banded smoothing, no XLA gathers."""
+    import jax.numpy as jnp
+
+    from tobac_flow_tpu.pipeline import device_flow
+
+    fwd, bwd = device_flow(
+        bt, vr_steps=1, smoothing_passes=1, interp_method="cubic"
+    )
+    return float(jnp.nansum(fwd)) + float(jnp.nansum(bwd))
+
+
+def tpu_ccl(mask):
+    """Device per-frame CCL (ops/ccl.py — gather-free segmented min-scans)."""
+    from tobac_flow_tpu.ops.ccl import flat_label
+
+    labels = flat_label(mask)
+    return int(labels.max())
+
+
+def _cpu_pair_flows(bt, refine=False):
+    """cv2 Farneback (optionally + cv2.VariationalRefinement) pair flows —
+    the reference's create_flow core (flow.py:359-428,499-519)."""
     import cv2
 
     t, h, w = bt.shape
     fwd = np.zeros((t, h, w, 2), np.float32)
     bwd = np.zeros((t, h, w, 2), np.float32)
+    vr = cv2.VariationalRefinement_create() if refine else None
     for i in range(t - 1):
         pair = bt[i : i + 2]
         vmin, vmax = np.nanmin(pair), np.nanmax(pair)
         a = ((pair[0] - vmin) * (255.0 / max(vmax - vmin, 1e-6))).astype(np.uint8)
         b = ((pair[1] - vmin) * (255.0 / max(vmax - vmin, 1e-6))).astype(np.uint8)
-        fwd[i] = cv2.calcOpticalFlowFarneback(a, b, None, 0.5, 5, 13, 10, 5, 1.1, 0)
-        bwd[i + 1] = cv2.calcOpticalFlowFarneback(b, a, None, 0.5, 5, 13, 10, 5, 1.1, 0)
+        f = cv2.calcOpticalFlowFarneback(a, b, None, 0.5, 5, 13, 10, 5, 1.1, 0)
+        g = cv2.calcOpticalFlowFarneback(b, a, None, 0.5, 5, 13, 10, 5, 1.1, 0)
+        if vr is not None:
+            f = vr.calc(a, b, f)
+            g = vr.calc(b, a, g)
+        fwd[i] = f
+        bwd[i + 1] = g
     fwd[-1] = -bwd[-1]
     bwd[0] = -fwd[0]
     np.clip(fwd, -20, 20, out=fwd)
     np.clip(bwd, -20, 20, out=bwd)
+    return fwd, bwd
 
-    def remap(img, flow):
-        locs = flow.copy()
-        locs[..., 0] += np.arange(w)
-        locs[..., 1] += np.arange(h)[:, None]
-        return cv2.remap(
-            img, locs, None, cv2.INTER_LINEAR, None, cv2.BORDER_CONSTANT, np.nan
-        )
+
+def _remap(img, flow, interp=None):
+    import cv2
+
+    h, w = img.shape
+    locs = flow.copy()
+    locs[..., 0] += np.arange(w)
+    locs[..., 1] += np.arange(h)[:, None]
+    return cv2.remap(
+        img,
+        locs,
+        None,
+        cv2.INTER_LINEAR if interp is None else interp,
+        None,
+        cv2.BORDER_CONSTANT,
+        np.nan,
+    )
+
+
+def cpu_reference_flow_cli(bt):
+    """CPU reconstruction of the CLI-default flow path: Farneback +
+    VariationalRefinement + one cubic remap smoothing pass
+    (reference flow.py:499-568)."""
+    import cv2
+
+    fwd, bwd = _cpu_pair_flows(bt, refine=True)
+
+    def smooth(primary, opposite):
+        out = np.empty_like(primary)
+        for i in range(primary.shape[0]):
+            warped = np.stack(
+                [
+                    -_remap(opposite[i, ..., 0], primary[i], cv2.INTER_CUBIC),
+                    -_remap(opposite[i, ..., 1], primary[i], cv2.INTER_CUBIC),
+                ],
+                axis=-1,
+            )
+            stacked = np.stack([primary[i], warped])
+            cnt = np.isfinite(stacked).sum(axis=0)
+            tot = np.nansum(stacked, axis=0)
+            out[i] = np.where(cnt > 0, tot / np.maximum(cnt, 1), np.nan)
+        return out
+
+    return smooth(fwd, bwd), smooth(bwd, fwd)
+
+
+def cpu_reference_pipeline(bt, dt_minutes=5.0, markers=None):
+    """Reference-equivalent CPU detect path (cv2 + scipy CCL markers + serial
+    heap watershed)."""
+    t, h, w = bt.shape
+    fwd, bwd = _cpu_pair_flows(bt, refine=False)
 
     # temporal diff in the moving frame
     growth = np.empty_like(bt)
     for i in range(t):
-        prev = remap(bt[i - 1], bwd[i]) if i > 0 else np.full((h, w), np.nan)
-        nxt = remap(bt[i + 1], fwd[i]) if i < t - 1 else np.full((h, w), np.nan)
+        prev = _remap(bt[i - 1], bwd[i]) if i > 0 else np.full((h, w), np.nan)
+        nxt = _remap(bt[i + 1], fwd[i]) if i < t - 1 else np.full((h, w), np.nan)
         fo = np.isfinite(nxt)
         bo = np.isfinite(prev)
         d = (
@@ -134,9 +278,9 @@ def cpu_reference_pipeline(bt, dt_minutes=5.0):
         for pi, dt_ in enumerate((-1, 0, 1)):
             if 0 <= i + dt_ < t:
                 if dt_ == -1:
-                    plane_img = remap(field[i - 1], bwd[i])
+                    plane_img = _remap(field[i - 1], bwd[i])
                 elif dt_ == 1:
-                    plane_img = remap(field[i + 1], fwd[i])
+                    plane_img = _remap(field[i + 1], fwd[i])
                 else:
                     plane_img = field[i]
             else:
@@ -155,7 +299,8 @@ def cpu_reference_pipeline(bt, dt_minutes=5.0):
 
     from tobac_flow_tpu.native import flow_watershed_host
 
-    markers = np.where(field >= 1.0, 1, 0).astype(np.int32)
+    if markers is None:
+        markers, _ = make_markers(bt)
     mask = (field > 0.05).astype(np.int8)
     labels = flow_watershed_host(fwd, bwd, edges.astype(np.float32), markers, mask=mask)
     return growth, labels
@@ -163,47 +308,95 @@ def cpu_reference_pipeline(bt, dt_minutes=5.0):
 
 def measure_cpu_baseline():
     bt = make_scene(T_CPU, H, W)
+    markers, n_markers = make_markers(bt)
     start = time.perf_counter()
-    cpu_reference_pipeline(bt)
+    cpu_reference_pipeline(bt, markers=markers)
     elapsed = time.perf_counter() - start
     rate = T_CPU * H * W / elapsed / 1e6
+
+    start = time.perf_counter()
+    cpu_reference_flow_cli(bt)
+    flow_elapsed = time.perf_counter() - start
+    flow_rate = T_CPU * H * W / flow_elapsed / 1e6
+
+    from scipy import ndimage
+
+    core = np.clip((260.0 - bt) / 10.0, 0.0, 1.0) >= 1.0
+    start = time.perf_counter()
+    for i in range(T_CPU):
+        ndimage.label(core[i])
+    ccl_elapsed = time.perf_counter() - start
+    ccl_rate = T_CPU * H * W / ccl_elapsed / 1e6
+
     data = {
+        "version": BASELINE_VERSION,
         "mpix_per_s": rate,
-        "config": {"t": T_CPU, "h": H, "w": W},
+        "cli_flow_mpix_per_s": flow_rate,
+        "ccl_mpix_per_s": ccl_rate,
+        "n_markers": n_markers,
+        "config": {"t": T_CPU, "h": H, "w": W, "n_cells": N_CELLS},
         "elapsed_s": elapsed,
+        "cli_flow_elapsed_s": flow_elapsed,
     }
     BASELINE_FILE.write_text(json.dumps(data, indent=2))
-    return rate
+    return data
 
 
 def main():
     if "--cpu-baseline" in sys.argv:
-        rate = measure_cpu_baseline()
-        print(json.dumps({"cpu_mpix_per_s": rate}))
+        data = measure_cpu_baseline()
+        print(json.dumps(data))
         return
 
+    baseline = None
     if BASELINE_FILE.exists():
-        cpu_rate = json.loads(BASELINE_FILE.read_text())["mpix_per_s"]
-    else:
-        cpu_rate = measure_cpu_baseline()
+        baseline = json.loads(BASELINE_FILE.read_text())
+        if baseline.get("version") != BASELINE_VERSION:
+            baseline = None
+    if baseline is None:
+        baseline = measure_cpu_baseline()
 
     import jax
+    import jax.numpy as jnp
 
     bt = jax.block_until_ready(make_scene_device(T, H, W))
-    # full same-shape warm-up run pays all compilation outside the timed region
-    tpu_pipeline(bt)
-    start = time.perf_counter()
-    tpu_pipeline(bt)
-    elapsed = time.perf_counter() - start
-    rate = T * H * W / elapsed / 1e6
+    markers_np, n_markers = make_markers(np.asarray(bt))
+    if n_markers < 20:
+        print(f"warning: only {n_markers} marker labels", file=sys.stderr)
+    markers = jnp.asarray(markers_np)
+
+    def timed(fn, *args):
+        fn(*args)  # same-shape warm-up pays all compilation untimed
+        start = time.perf_counter()
+        fn(*args)
+        return time.perf_counter() - start
+
+    npix = T * H * W / 1e6
+    rate = npix / timed(tpu_pipeline, bt, markers)
+    flow_rate = npix / timed(tpu_cli_flow, bt)
+    core_mask = jax.block_until_ready(
+        jnp.clip((260.0 - bt) / 10.0, 0.0, 1.0) >= 1.0
+    )
+    ccl_rate = npix / timed(tpu_ccl, core_mask)
 
     print(
         json.dumps(
             {
-                "metric": "flow+watershed synthetic GOES tile (detect compute path)",
+                "metric": (
+                    "flow+watershed synthetic GOES tile, "
+                    f"{n_markers} competing markers (detect compute path)"
+                ),
                 "value": round(rate, 2),
                 "unit": "Mpix/s",
-                "vs_baseline": round(rate / cpu_rate, 2),
+                "vs_baseline": round(rate / baseline["mpix_per_s"], 2),
+                "cli_flow_mpix_per_s": round(flow_rate, 2),
+                "cli_flow_vs_baseline": round(
+                    flow_rate / baseline["cli_flow_mpix_per_s"], 2
+                ),
+                "ccl_mpix_per_s": round(ccl_rate, 2),
+                "ccl_vs_baseline": round(
+                    ccl_rate / baseline["ccl_mpix_per_s"], 2
+                ),
             }
         )
     )

@@ -23,8 +23,10 @@ def scene():
 def test_fused_matches_cpu_reference(scene):
     import bench
 
-    _, nlab = bench.tpu_pipeline(scene)
-    _, l2 = bench.cpu_reference_pipeline(np.asarray(scene))
+    markers, n_markers = bench.make_markers(np.asarray(scene))
+    assert n_markers >= 5  # the scene must yield competing basins
+    _, nlab = bench.tpu_pipeline(scene, markers)
+    _, l2 = bench.cpu_reference_pipeline(np.asarray(scene), markers=markers)
     n2 = int((l2 != 0).sum())
     assert nlab > 0
     # foreground pixel counts agree closely (boundary ties only)
@@ -32,13 +34,20 @@ def test_fused_matches_cpu_reference(scene):
 
 
 def test_fused_labels_iou_vs_cpu(scene):
+    """Multi-marker minimax assignment parity: the same per-cell seeds go to
+    both stacks, so label agreement checks which basin wins each pixel — not
+    just flood extent."""
     from tobac_flow_tpu.pipeline import fused_flow_watershed
     import bench
 
-    _, _, _, labels = fused_flow_watershed(scene, 5.0)
+    markers, _ = bench.make_markers(np.asarray(scene))
+    _, _, _, labels = fused_flow_watershed(scene, 5.0, markers=markers)
     labels = np.asarray(labels)
-    _, oracle = bench.cpu_reference_pipeline(np.asarray(scene))
+    _, oracle = bench.cpu_reference_pipeline(np.asarray(scene), markers=markers)
     assert iou(labels, oracle) >= 0.98
+    both = (labels != 0) & (oracle != 0)
+    assert both.any()
+    assert (labels[both] == oracle[both]).mean() >= 0.97
 
 
 def test_multigrid_watershed_matches_flat(scene):

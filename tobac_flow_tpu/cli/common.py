@@ -80,34 +80,46 @@ def run_detection(
     start_date=None,
     end_date=None,
     opts: DetectionOptions | None = None,
+    timer=None,
 ) -> Dataset:
-    """Run the full DCC detection pipeline into ``dataset``."""
+    """Run the full DCC detection pipeline into ``dataset``.
+
+    ``timer`` (a :class:`tobac_flow_tpu.utils.profiling.StageTimer`) records
+    per-stage wall clock when provided — the instrumentation behind the
+    end-to-end benchmark's stage breakdown."""
+    import contextlib
+
     if opts is None:
         opts = DetectionOptions()
+    stage = timer.stage if timer is not None else (
+        lambda name: contextlib.nullcontext()
+    )
 
     print(datetime.now(), "Calculating flow field", flush=True)
-    flow = create_flow(
-        bt,
-        model=opts.flow_model,
-        vr_steps=opts.vr_steps,
-        smoothing_passes=opts.smoothing_passes,
-        interp_method=opts.interp_method,
-    )
+    with stage("flow"):
+        flow = create_flow(
+            bt,
+            model=opts.flow_model,
+            vr_steps=opts.vr_steps,
+            smoothing_passes=opts.smoothing_passes,
+            interp_method=opts.interp_method,
+        )
 
     print(datetime.now(), "Detecting growth markers", flush=True)
-    core_labels = detect_cores(
-        flow,
-        bt,
-        wvd,
-        swd,
-        wvd_threshold=opts.wvd_threshold,
-        bt_threshold=opts.bt_threshold,
-        overlap=opts.overlap,
-        absolute_overlap=opts.absolute_overlap,
-        subsegment_shrink=opts.subsegment_shrink,
-        min_length=opts.t_offset,
-        use_wvd=opts.use_wvd,
-    )
+    with stage("detect_cores"):
+        core_labels = detect_cores(
+            flow,
+            bt,
+            wvd,
+            swd,
+            wvd_threshold=opts.wvd_threshold,
+            bt_threshold=opts.bt_threshold,
+            overlap=opts.overlap,
+            absolute_overlap=opts.absolute_overlap,
+            subsegment_shrink=opts.subsegment_shrink,
+            min_length=opts.t_offset,
+            use_wvd=opts.use_wvd,
+        )
     print("Final detected core count: n =", core_labels.values.max(), flush=True)
     dataset["core_label"] = core_labels
 
@@ -127,42 +139,47 @@ def run_detection(
             bt = None  # frees the frame when the caller passed its only ref
 
     print(datetime.now(), "Detecting thick anvil region", flush=True)
-    anvil_markers = get_anvil_markers(
-        flow,
-        wvd - swd,
-        threshold=opts.thick_upper,
-        overlap=opts.overlap,
-        absolute_overlap=opts.absolute_overlap,
-        subsegment_shrink=opts.subsegment_shrink,
-        min_length=opts.t_offset,
-        name="anvil_marker_label",
-    )
+    with stage("anvil_markers"):
+        anvil_markers = get_anvil_markers(
+            flow,
+            wvd - swd,
+            threshold=opts.thick_upper,
+            overlap=opts.overlap,
+            absolute_overlap=opts.absolute_overlap,
+            subsegment_shrink=opts.subsegment_shrink,
+            min_length=opts.t_offset,
+            name="anvil_marker_label",
+        )
     print(
         "Final thick anvil markers: n =", anvil_markers.values.max(), flush=True
     )
 
-    thick_anvil_labels = detect_anvils(
-        flow,
-        wvd - swd,
-        markers=anvil_markers,
-        upper_threshold=opts.thick_upper,
-        lower_threshold=opts.thick_lower,
-        erode_distance=opts.erode_distance,
-        min_length=opts.t_offset,
-        name="thick_anvil_label",
-        attributes=dict(long_name="Labels of detected thick anvil regions"),
-    )
-    if opts.relabel:
-        thick_anvil_labels = relabel_anvils(
+    with stage("thick_anvils"):
+        thick_anvil_labels = detect_anvils(
             flow,
-            thick_anvil_labels,
+            wvd - swd,
             markers=anvil_markers,
-            overlap=opts.overlap,
-            absolute_overlap=opts.absolute_overlap,
+            upper_threshold=opts.thick_upper,
+            lower_threshold=opts.thick_lower,
+            erode_distance=opts.erode_distance,
             min_length=opts.t_offset,
             name="thick_anvil_label",
             attributes=dict(long_name="Labels of detected thick anvil regions"),
         )
+    if opts.relabel:
+        with stage("relabel_anvils"):
+            thick_anvil_labels = relabel_anvils(
+                flow,
+                thick_anvil_labels,
+                markers=anvil_markers,
+                overlap=opts.overlap,
+                absolute_overlap=opts.absolute_overlap,
+                min_length=opts.t_offset,
+                name="thick_anvil_label",
+                attributes=dict(
+                    long_name="Labels of detected thick anvil regions"
+                ),
+            )
     print(
         "Final detected thick anvils: n =",
         thick_anvil_labels.values.max(),
@@ -176,17 +193,18 @@ def run_detection(
         anvil_markers = None  # free before the thin-anvil watershed peak
 
     print(datetime.now(), "Detecting thin anvil region", flush=True)
-    thin_anvil_labels = detect_anvils(
-        flow,
-        wvd + swd,
-        markers=thick_anvil_labels,
-        upper_threshold=opts.thin_upper,
-        lower_threshold=opts.thin_lower,
-        erode_distance=opts.erode_distance,
-        min_length=opts.t_offset,
-        name="thin_anvil_label",
-        attributes=dict(long_name="Labels of detected thin anvil regions"),
-    )
+    with stage("thin_anvils"):
+        thin_anvil_labels = detect_anvils(
+            flow,
+            wvd + swd,
+            markers=thick_anvil_labels,
+            upper_threshold=opts.thin_upper,
+            lower_threshold=opts.thin_lower,
+            erode_distance=opts.erode_distance,
+            min_length=opts.t_offset,
+            name="thin_anvil_label",
+            attributes=dict(long_name="Labels of detected thin anvil regions"),
+        )
     print(
         "Detected thin anvils: n =", thin_anvil_labels.values.max(), flush=True
     )
@@ -202,16 +220,18 @@ def run_detection(
     dataset["thin_anvil_label"] = thin_anvil_labels
 
     print(datetime.now(), "Preparing output", flush=True)
-    dataset = add_label_coords(dataset)
-    link_cores_and_anvils(dataset)
-    add_step_labels(dataset)
-    dataset = add_label_coords(dataset)
-    link_step_labels(dataset)
-    flag_edge_labels(dataset, start_date, end_date)
-    flag_nan_adjacent_labels(dataset, wvd)
+    with stage("schema"):
+        dataset = add_label_coords(dataset)
+        link_cores_and_anvils(dataset)
+        add_step_labels(dataset)
+        dataset = add_label_coords(dataset)
+        link_step_labels(dataset)
+        flag_edge_labels(dataset, start_date, end_date)
+        flag_nan_adjacent_labels(dataset, wvd)
 
     if opts.save_label_props:
-        calculate_label_properties(dataset)
+        with stage("label_props"):
+            calculate_label_properties(dataset)
     if opts.save_spatial_props:
         get_label_stats(dataset["core_label"], dataset)
         get_label_stats(dataset["thick_anvil_label"], dataset)
@@ -225,27 +245,29 @@ def run_detection(
             )
         else:
             weights = np.ones_like(bt.values)
-        for field in (bt, wvd, swd):
-            for labels, name, dim in [
-                (dataset["core_label"], "core", "core"),
-                (dataset["thick_anvil_label"], "thick_anvil", "anvil"),
-                (dataset["thin_anvil_label"], "thin_anvil", "anvil"),
-                (dataset["core_step_label"], "core_step", "core_step"),
-                (
-                    dataset["thick_anvil_step_label"],
-                    "thick_anvil_step",
-                    "thick_anvil_step",
-                ),
-                (
-                    dataset["thin_anvil_step_label"],
-                    "thin_anvil_step",
-                    "thin_anvil_step",
-                ),
-            ]:
-                for da in weighted_statistics_on_labels(
-                    labels, field, weights, name=name, dim=dim, dtype=np.float32
-                ):
-                    dataset[da.name] = da
+        with stage("field_props"):
+            for field in (bt, wvd, swd):
+                for labels, name, dim in [
+                    (dataset["core_label"], "core", "core"),
+                    (dataset["thick_anvil_label"], "thick_anvil", "anvil"),
+                    (dataset["thin_anvil_label"], "thin_anvil", "anvil"),
+                    (dataset["core_step_label"], "core_step", "core_step"),
+                    (
+                        dataset["thick_anvil_step_label"],
+                        "thick_anvil_step",
+                        "thick_anvil_step",
+                    ),
+                    (
+                        dataset["thin_anvil_step_label"],
+                        "thin_anvil_step",
+                        "thin_anvil_step",
+                    ),
+                ]:
+                    for da in weighted_statistics_on_labels(
+                        labels, field, weights, name=name, dim=dim,
+                        dtype=np.float32,
+                    ):
+                        dataset[da.name] = da
     if opts.save_bt:
         dataset["bt"] = bt
     if opts.save_wvd:

@@ -1,10 +1,10 @@
 """Optical-flow model registry and the batched flow driver.
 
 Mirrors the reference model registry (``tobac_flow/utils/flow_utils.py:37-77``,
-8 selectable dense-flow models).  Implemented TPU-native models: Farneback
-(pipeline default) and DIS-style inverse-search (planned).  Unimplemented
-models raise, with DenseRLOF raising NotImplementedError exactly as the
-reference does.
+8 selectable dense-flow models).  Seven are implemented TPU-native: Farneback
+(pipeline default), DIS, DualTVL1, DeepFlow, PCA, SimpleFlow and
+SparseToDense; DenseRLOF raises NotImplementedError exactly as the reference
+does (it needs multi-channel input).
 """
 
 from __future__ import annotations

@@ -191,33 +191,6 @@ def poly_exp(img, poly_n=5, poly_sigma=1.1):
     return b, A
 
 
-def _bilinear_sample_clamped(field, px, py):
-    """Sample (H, W, C) field at float coords with replicate borders."""
-    h, w, c = field.shape
-    px = jnp.clip(px, 0.0, w - 1.0)
-    py = jnp.clip(py, 0.0, h - 1.0)
-    x0 = jnp.floor(px).astype(jnp.int32)
-    y0 = jnp.floor(py).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    fx = (px - x0)[..., None]
-    fy = (py - y0)[..., None]
-    flat = field.reshape(-1, c)
-
-    def take(yy, xx):
-        return jnp.take(flat, (yy * w + xx).reshape(-1), axis=0).reshape(
-            px.shape + (c,)
-        )
-
-    v00 = take(y0, x0)
-    v01 = take(y0, x1)
-    v10 = take(y1, x0)
-    v11 = take(y1, x1)
-    top = v00 * (1 - fx) + v01 * fx
-    bot = v10 * (1 - fx) + v11 * fx
-    return top * (1 - fy) + bot * fy
-
-
 def _box_blur(img, winsize):
     """Separable box filter with edge replication (cv2 box aggregation),
     via cumulative sums — O(1) work per pixel independent of winsize."""

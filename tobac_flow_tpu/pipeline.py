@@ -38,13 +38,35 @@ def _normalise_pair(prev, nxt):
     return jnp.round(a), jnp.round(b)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "max_value"))
-def device_flow(data, params: FarnebackParams | None = None, max_value: float = 20.0):
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params",
+        "max_value",
+        "vr_steps",
+        "smoothing_passes",
+        "interp_method",
+    ),
+)
+def device_flow(
+    data,
+    params: FarnebackParams | None = None,
+    max_value: float = 20.0,
+    vr_steps: int = 0,
+    smoothing_passes: int = 0,
+    interp_method: str = "linear",
+):
     """Forward/backward flow for a device-resident (T, H, W) stack.
 
     Frame pairs are mapped with ``lax.map`` so the pairwise program compiles
     once regardless of T.  Jitted at the top level too: called eagerly, the
     op-by-op dispatch of the Farneback pyramid is orders of magnitude slower.
+
+    ``vr_steps``/``smoothing_passes``/``interp_method`` mirror the
+    ``create_flow`` CLI defaults (reference ``flow.py:499-568``): both extra
+    passes are banded-shift formulations (``models/variational``,
+    ``core.flow.smooth_flow_step``) so the production configuration stays
+    gather-free on device.
     """
     if params is None:
         params = FarnebackParams()
@@ -53,10 +75,19 @@ def device_flow(data, params: FarnebackParams | None = None, max_value: float = 
         prev = jax.lax.dynamic_index_in_dim(data, idx, keepdims=False)
         nxt = jax.lax.dynamic_index_in_dim(data, idx + 1, keepdims=False)
         p8, n8 = _normalise_pair(prev, nxt)
-        return (
-            farneback_pair(p8, n8, params),
-            farneback_pair(n8, p8, params),
-        )
+        fwd = farneback_pair(p8, n8, params)
+        bwd = farneback_pair(n8, p8, params)
+        if vr_steps > 0:
+            from tobac_flow_tpu.models.variational import variational_refine
+
+            fwd = variational_refine(p8, n8, fwd, steps=vr_steps)
+            bwd = variational_refine(n8, p8, bwd, steps=vr_steps)
+        if smoothing_passes > 0:
+            from tobac_flow_tpu.core.flow import smooth_flow_step
+
+            for _ in range(smoothing_passes):
+                fwd, bwd = smooth_flow_step(fwd, bwd, method=interp_method)
+        return fwd, bwd
 
     t = data.shape[0]
     idxs = jnp.arange(t - 1)
@@ -164,15 +195,24 @@ def _fields_stage(bt, dt_minutes, params=None):
     return fwd, bwd, growth, field, edges
 
 
-def fused_flow_watershed(bt, dt_minutes, params=None, ws_iters=128):
+def fused_flow_watershed(bt, dt_minutes, params=None, ws_iters=128, markers=None):
     """bt (T, H, W) on device -> (flow, growth, edges, watershed labels).
 
     The benchmark workload: the dense fields compile into one program; the
     watershed runs as host-chunked sweep batches (see ops/watershed) so long
     floods neither trip remote watchdogs nor overrun HBM.
+
+    ``markers`` (int32, 0 = unlabelled) seeds the watershed with competing
+    basins — the benchmark passes one label per storm cell so label
+    agreement vs the CPU oracle exercises the multi-marker minimax
+    assignment, not just flood extent.  ``None`` falls back to a single
+    threshold-mask label.
     """
     fwd, bwd, growth, field, edges = _fields_stage(bt, dt_minutes, params)
-    markers = (field >= 1.0).astype(jnp.int32)
+    if markers is None:
+        markers = (field >= 1.0).astype(jnp.int32)
+    else:
+        markers = jnp.asarray(markers, dtype=jnp.int32)
     mask = field > 0.05
     labels = watershed(
         fwd, bwd, edges, markers, mask=mask, max_iters=ws_iters, return_device=True

@@ -1,0 +1,157 @@
+"""End-to-end GOES-day benchmark: the FULL dcc_detect pipeline (flow →
+detect_cores → anvil markers → thick/thin anvils → schema + per-object
+statistics → netCDF) on a synthetic 288-frame day, with a per-stage
+StageTimer breakdown and peak-RSS accounting.
+
+The scene staggers storm life cycles through the day (rapid 40-minute
+growth, mature plateau, slow decay — the cadence the reference's detection
+thresholds are tuned to, cf. /root/reference/scripts/dcc_detect_goes.py
+42-45,153 for the job scale) so cross-frame tracking, anvil competition and
+the statistics layer all do real work.
+
+Usage (TPU):  python tools/bench_e2e.py -t 288 -y 512 -x 768
+         CPU:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/bench_e2e.py -t 24 -y 192 -x 256
+Writes BENCH_E2E.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+
+def make_day_scene(t, h, w, n_cells=None, seed=0):
+    """(bt, wvd, swd) ndarrays for a synthetic day of staggered storms."""
+    rng = np.random.default_rng(seed)
+    if n_cells is None:
+        n_cells = max(8, min(48, (h * w) // 6000))
+    cols = int(np.ceil(np.sqrt(n_cells * 1.5)))
+    rows = int(np.ceil(n_cells / cols))
+    pitch_y = 0.72 * h / rows
+    pitch_x = 0.5 * w / cols
+    ks = np.arange(n_cells)
+    cy = (0.14 * h + (ks // cols + 0.5 + rng.uniform(-0.2, 0.2, n_cells)) * pitch_y)
+    cx = (0.05 * w + (ks % cols + 0.5 + rng.uniform(-0.2, 0.2, n_cells)) * pitch_x)
+    pitch = min(pitch_y, pitch_x)
+    radius = rng.uniform(pitch / 6.0, pitch / 3.5, n_cells)
+    depth = rng.uniform(55.0, 85.0, n_cells)
+    # staggered life cycles: grow 8 frames (~2 K/min cooling), mature ~40,
+    # decay 24; starts spread through the day
+    start = rng.integers(0, max(t - 40, 1), n_cells)
+    grow_f, mature_f, decay_f = 8, 40, 24
+
+    cy = cy[:, None, None]
+    cx = cx[:, None, None]
+    r2inv = (1.0 / (2 * radius**2))[:, None, None]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    bt = np.empty((t, h, w), np.float32)
+    wvd = np.empty((t, h, w), np.float32)
+    swd = np.empty((t, h, w), np.float32)
+    for i in range(t):
+        age = i - start
+        g = np.clip(age / grow_f, 0.0, 1.0)
+        d = np.clip((age - grow_f - mature_f) / decay_f, 0.0, 1.0)
+        amp = np.where(age < 0, 0.0, g * (1.0 - 0.85 * d))
+        spread = 1.0 + 1.5 * np.clip(age / (grow_f + mature_f), 0.0, 1.0)
+        r2 = (xx[None] - cx - 3.0 * i) ** 2 + (yy[None] - cy - 1.5 * i) ** 2
+        core = np.exp(-r2 * (r2inv / spread[:, None, None]))
+        acc = (depth[:, None, None] * amp[:, None, None] * core).sum(0)
+        acc = np.minimum(acc, 85.0)
+        bt[i] = 290.0 - acc
+        wvd[i] = -15.0 + 0.2 * acc
+        swd[i] = 5.0 - 0.06 * acc
+    bt += rng.normal(0, 0.3, bt.shape).astype(np.float32)
+    wvd += rng.normal(0, 0.2, wvd.shape).astype(np.float32)
+    swd += rng.normal(0, 0.1, swd.shape).astype(np.float32)
+    return bt, wvd, swd
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-t", default=288, type=int)
+    parser.add_argument("-y", default=512, type=int)
+    parser.add_argument("-x", default=768, type=int)
+    parser.add_argument("--cells", default=None, type=int)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("-sd", default="/tmp/bench_e2e", help="output dir")
+    parser.add_argument("--no-write", action="store_true",
+                        help="skip BENCH_E2E.json (exploratory runs)")
+    args = parser.parse_args(argv)
+
+    from tobac_flow_tpu.cli.common import (
+        DetectionOptions,
+        run_detection,
+        save_dataset,
+    )
+    from tobac_flow_tpu.data.ncdataset import DataArray, Dataset
+    from tobac_flow_tpu.utils.profiling import StageTimer
+
+    t, h, w = args.t, args.y, args.x
+    print(datetime.now(), f"Building {t}x{h}x{w} day scene", flush=True)
+    bt_v, wvd_v, swd_v = make_day_scene(t, h, w, n_cells=args.cells,
+                                        seed=args.seed)
+
+    times = np.datetime64("2020-06-01T00:00:00", "ns") + np.arange(
+        t
+    ) * np.timedelta64(300, "s")
+    coords = {"t": times, "y": np.arange(h) * 2000.0, "x": np.arange(w) * 2000.0}
+
+    def da(v, name):
+        return DataArray(v, coords=coords, dims=("t", "y", "x"), name=name,
+                         attrs={"long_name": name, "units": "K"})
+
+    bt, wvd, swd = da(bt_v, "bt"), da(wvd_v, "wvd"), da(swd_v, "swd")
+    ds = Dataset(coords=coords)
+
+    save_dir = Path(args.sd)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    save_path = save_dir / f"detected_dccs_E2E_T{t:03d}_X{w:04d}_Y{h:04d}.nc"
+
+    timer = StageTimer(verbose=True)
+    opts = DetectionOptions(
+        checkpoint_path=save_path.with_suffix(".checkpoint.nc"),
+    )
+    start = time.perf_counter()
+    ds = run_detection(bt, wvd, swd, ds, opts=opts, timer=timer)
+    with timer.stage("save"):
+        save_dataset(ds, save_path)
+    total = time.perf_counter() - start
+
+    rate = t * h * w / total / 1e6
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    result = {
+        "metric": "full detect path (flow->cores->anvils->stats->netCDF)",
+        "frames": t,
+        "height": h,
+        "width": w,
+        "total_s": round(total, 2),
+        "mpix_per_s": round(rate, 3),
+        "stages_s": {k: round(v, 2) for k, v in timer.summary().items()},
+        "n_cores": int(np.asarray(ds["core_label"].values).max()),
+        "n_thick_anvils": int(np.asarray(ds["thick_anvil_label"].values).max()),
+        "n_thin_anvils": int(np.asarray(ds["thin_anvil_label"].values).max()),
+        "peak_rss_gb": round(peak_rss_gb, 2),
+        "output_nc_mb": round(save_path.stat().st_size / 1e6, 1),
+    }
+    print(json.dumps(result, indent=2))
+    if not args.no_write:
+        (REPO / "BENCH_E2E.json").write_text(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()
