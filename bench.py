@@ -125,16 +125,24 @@ def make_scene_device(t, h, w):
     return bt + noise
 
 
-def make_markers(bt_np):
+def make_markers(bt_np, min_size=10):
     """Multi-label watershed seeds: 3D 6-connected components of the core
     threshold (one label per storm cell), numbered by scipy raster order.
+    Components below ``min_size`` voxels are noise speckle at the threshold
+    contour and are dropped (the production detect path applies a binary
+    opening to its markers for the same reason, detect/detection.py:224).
     Shared verbatim by the TPU and CPU pipelines so every disagreement
     measured downstream is a watershed-assignment difference."""
     from scipy import ndimage
 
     field = np.clip((260.0 - np.asarray(bt_np)) / 10.0, 0.0, 1.0)
     markers, n = ndimage.label(field >= 1.0)
-    return markers.astype(np.int32), int(n)
+    sizes = np.bincount(markers.ravel(), minlength=n + 1)
+    keep = sizes >= min_size
+    keep[0] = False
+    lut = np.zeros(n + 1, np.int32)
+    lut[keep] = np.arange(1, int(keep.sum()) + 1, dtype=np.int32)
+    return lut[markers], int(keep.sum())
 
 
 def tpu_pipeline(bt, markers, dt_minutes=5.0):
@@ -395,7 +403,7 @@ def main():
                 ),
                 "ccl_mpix_per_s": round(ccl_rate, 2),
                 "ccl_vs_baseline": round(
-                    ccl_rate / baseline["ccl_mpix_per_s"], 2
+                    ccl_rate / baseline["ccl_mpix_per_s"], 4
                 ),
             }
         )

@@ -185,6 +185,25 @@ def relabel_sequential(raw_labels, frame_offset=True):
 def flat_label(mask, structure=DEFAULT_STRUCTURE, dtype=np.int32):
     """Connected components that do not connect across the leading (time)
     dimension, numbered contiguously (parity with reference
-    ``utils/label_utils.py:143-180``)."""
+    ``utils/label_utils.py:143-180``).
+
+    Host numpy input dispatches to scipy's serial union-find: per-frame 2D
+    CCL of a sparse storm mask is memory-bound pointer chasing that the host
+    does at memcpy speed, while the device formulation pays full-volume
+    sweeps — measured 100x+ slower for host-resident CLI data once transfer
+    is counted.  Device-resident input stays on device (no readback)."""
+    if isinstance(mask, np.ndarray):
+        from scipy import ndimage
+
+        s = np.asarray(structure)
+        plane = s[1] if s.shape == (3, 3, 3) else s
+        t = mask.shape[0]
+        out = np.zeros(mask.shape, dtype=np.int64)
+        offset = 0
+        for i in range(t):
+            lab, n = ndimage.label(mask[i] != 0, structure=plane)
+            out[i] = np.where(lab > 0, lab + offset, 0)
+            offset += n
+        return out.astype(dtype)
     raw = label_components_device(mask, structure=structure)
     return relabel_sequential(raw).astype(dtype)

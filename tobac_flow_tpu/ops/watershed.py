@@ -381,14 +381,18 @@ def watershed(
     if radius is None:
         # adaptive band radius: the temporal-tap cost scales with 2R+1, so
         # specialise to the 99th-percentile rounded displacement (one scalar
-        # readback; compile cache is keyed per radius value).  Displacements
-        # beyond the band are clipped by the banded gather — the handful of
-        # noise-driven outlier vectors saturate exactly as the reference's
-        # ±max_value clip does.
+        # readback; compile cache is keyed per radius value).  Only masked
+        # pixels can ever push a label (unmasked sources carry +inf cost),
+        # so the percentile is taken over the mask — the flow over empty
+        # background is Farneback noise with a fat tail that would otherwise
+        # inflate the band 2-3x.  Displacements beyond the band are clipped
+        # by the banded scatter — the handful of outlier vectors saturate
+        # exactly as the reference's ±max_value clip does.
         mag = jnp.maximum(jnp.abs(fwd_int), jnp.abs(bwd_int))
-        total = mag.size
+        mag = jnp.where(mask_j[..., None], mag, 0)
+        total = jnp.maximum(mask_j.sum() * 2, 1)
         exceed = jnp.stack([(mag > k).sum() for k in range(21)])
-        small_enough = exceed <= max(total // 100, 1)  # ≥99% within the band
+        small_enough = exceed <= jnp.maximum(total // 100, 1)  # ≥99% in band
         q = jnp.argmax(small_enough)  # first radius covering 99%
         radius = int(min(int(q) + 2, 21))
 
