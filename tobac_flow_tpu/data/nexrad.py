@@ -6,11 +6,11 @@ Parity target: reference ``tobac_flow/nexrad.py`` — radar gate extraction
 (``regrid_nexrad`` 194-232), the site tables (234-572) and the in-domain
 site filter (573-588).
 
-arm_pyart is not available in this image, so Level-II decoding is pluggable:
-``get_gates_from_tar`` uses pyart when importable and otherwise raises with
-instructions; every downstream step takes plain (lat, lon, alt, refl) gate
-arrays.  The site table ships as a bundled CSV of the public NWS site list
-(subset; extend ``NEXRAD_SITES`` as needed).
+Level-II decoding is self-contained: ``get_gates_from_tar`` parses AR2V
+archives with the from-scratch message-31 reader in
+``data/nexrad_level2.py`` (no pyart dependency); every downstream step takes
+plain (lat, lon, alt, refl) gate arrays.  The full 160-site table from the
+reference ships inline (``NEXRAD_SITES``).
 """
 
 from __future__ import annotations
@@ -132,35 +132,34 @@ def get_nexrad_site_latlons(sites=None):
 
 def get_gates_from_tar(nexrad_archive):
     """Extract (lat, lon, alt, reflectivity) gate arrays from a Level-II tar
-    archive (reference ``nexrad.py:21-58``).  Requires arm_pyart."""
-    try:
-        import pyart  # noqa: F401
-    except ImportError as exc:
-        raise ImportError(
-            "reading NEXRAD Level-II archives requires arm_pyart, which is "
-            "not available in this environment; pass pre-extracted gate "
-            "arrays to the gridding functions instead"
-        ) from exc
+    archive (reference ``nexrad.py:21-58``).
+
+    Archives are decoded by the self-contained AR2V reader
+    (``data/nexrad_level2.py`` — from-scratch ICD 2620002 message-31 parser
+    with 4/3-Earth gate geolocation), so no pyart is needed.  Members that
+    fail to decode are skipped exactly as the reference skips pyart IOErrors
+    (``nexrad.py:36-38``)."""
     import tarfile
-    import tempfile
+
+    from tobac_flow_tpu.data.nexrad_level2 import read_nexrad_archive
 
     lats, lons, alts, refls = [], [], [], []
     with tarfile.open(nexrad_archive) as tar:
         for member in tar.getmembers():
             if not member.isfile():
                 continue
-            with tempfile.NamedTemporaryFile(suffix="_V06") as tmp:
-                tmp.write(tar.extractfile(member).read())
-                tmp.flush()
-                radar = pyart.io.read_nexrad_archive(tmp.name)
-                lat, lon, alt = radar.get_gate_lat_lon_alt(0)
-                for sweep in range(radar.nsweeps):
-                    lat, lon, alt = radar.get_gate_lat_lon_alt(sweep)
-                    refl = radar.get_field(sweep, "reflectivity")
-                    lats.append(lat.ravel())
-                    lons.append(lon.ravel())
-                    alts.append(alt.ravel())
-                    refls.append(np.ma.filled(refl, np.nan).ravel())
+            try:
+                _, alt, lat, lon, refl = read_nexrad_archive(
+                    tar.extractfile(member).read()
+                )
+            except (IOError, ValueError):
+                continue
+            lats.append(lat.ravel())
+            lons.append(lon.ravel())
+            alts.append(alt.ravel())
+            refls.append(np.ma.filled(refl.astype(np.float64), np.nan).ravel())
+    if not lats:
+        raise IOError(f"no decodable Level-II archives in {nexrad_archive}")
     return (
         np.concatenate(lats),
         np.concatenate(lons),
