@@ -42,6 +42,39 @@ __all__ = ["watershed"]
 
 _INF = np.float32(np.inf)
 
+# tri-state cache: None = unprobed, True/False = pallas spatial kernel usable
+_PALLAS_SPATIAL = None
+
+
+def _pallas_spatial_usable():
+    """Probe once whether the time-tiled Pallas sweep kernel compiles on the
+    current backend (the remote Mosaic compiler rejects some programs; CPU
+    runs use the XLA formulation which the kernel is bit-equivalent to)."""
+    global _PALLAS_SPATIAL
+    if _PALLAS_SPATIAL is not None:
+        return _PALLAS_SPATIAL
+    try:
+        platform = jax.devices()[0].platform.lower()
+    except Exception:
+        platform = "cpu"
+    if platform in ("cpu", "gpu"):
+        _PALLAS_SPATIAL = False
+        return False
+    try:
+        from tobac_flow_tpu.ops.ws_pallas import spatial_sweeps_pallas
+
+        z = jnp.zeros((1, 256, 256), jnp.float32)
+        m = jnp.full((1, 256, 256), np.iinfo(np.int32).max, jnp.int32)
+        b = jnp.zeros((1, 256, 256), bool)
+        out = spatial_sweeps_pallas(
+            z, z, m, z, b, b, ((0, 1), (0, -1), (1, 0), (-1, 0)), k_sweeps=8
+        )
+        jax.block_until_ready(out)
+        _PALLAS_SPATIAL = True
+    except Exception:
+        _PALLAS_SPATIAL = False
+    return _PALLAS_SPATIAL
+
 
 def connectivity_structure(connectivity):
     """Build the (3,3,3) boolean neighbourhood from an int connectivity or
@@ -175,11 +208,14 @@ def _banded_scatter_min(cost_s, cost2_s, meta_s, disp_y, disp_x, radius, meta_ma
 
 @functools.partial(
     jax.jit,
-    static_argnames=("taps", "radius", "n_iters", "spatial_per_temporal", "grace"),
+    static_argnames=(
+        "taps", "radius", "n_iters", "spatial_per_temporal", "grace",
+        "use_pallas",
+    ),
 )
 def _watershed_sweeps(
     field, markers, mask, fwd_int, bwd_int, state, taps, radius, n_iters,
-    spatial_per_temporal=8, grace=2,
+    spatial_per_temporal=8, grace=2, use_pallas=False,
 ):
     """Run up to n_iters sweep rounds; returns (state, rounds_used).
 
@@ -263,6 +299,14 @@ def _watershed_sweeps(
                 c2s = _shift_t(cost2, -dt, _INF)
                 ms = _shift_t(meta, -dt, meta_max)
                 fs = _shift_t(src_flow, -dt, 0)
+                # measured dead end: a Pallas VMEM form of this scatter
+                # (tools git history, ws_pallas banded_scatter_min_pallas)
+                # lost to this XLA formulation both ways it was built —
+                # unrolled band passes blow scoped VMEM past 16M unless the
+                # row blocks shrink to DMA-latency-bound sizes (11.2s vs
+                # 6.9s), and fori_loop+roll rotation passes are slower still
+                # (3.7s vs 2.3s) with diverging roll semantics between the
+                # Mosaic backend and the interpreter
                 cq, c2q, mq = _banded_scatter_min(
                     cs, c2s, ms, fs[..., 1] + dy, fs[..., 0] + dx, radius,
                     meta_max,
@@ -283,11 +327,30 @@ def _watershed_sweeps(
         # convergence with a grace window avoids paying for that tail)
         return jnp.logical_and(quiet < grace, it < n_iters)
 
+    if use_pallas:
+        from tobac_flow_tpu.ops.ws_pallas import spatial_sweeps_pallas
+
+        in_plane_taps = in_plane
+
+        def run_spatial(new):
+            # time-tiled VMEM kernel: exact equivalent of
+            # spatial_per_temporal Jacobi sweeps, one HBM pass
+            return spatial_sweeps_pallas(
+                new[0], new[1], new[2], field, seeded, floodable,
+                tuple((dy, dx) for dy, dx in in_plane_taps),
+                k_sweeps=spatial_per_temporal,
+            )
+    else:
+
+        def run_spatial(new):
+            for _ in range(spatial_per_temporal):
+                new = sweep(new, False)
+            return new
+
     def body(carry):
         state, quiet, it = carry
         new = sweep(state, True)
-        for _ in range(spatial_per_temporal):
-            new = sweep(new, False)
+        new = run_spatial(new)
         labels_changed = jnp.any(
             (new[2] & label_mask) != (state[2] & label_mask)
         )
@@ -407,6 +470,9 @@ def watershed(
     )
 
     t, h, w = field_j.shape
+    # the Pallas time-tiled sweep kernel pays off once a frame outgrows its
+    # block size; below that the XLA sweeps win on dispatch overhead
+    use_pallas = h * w >= 256 * 256 and _pallas_spatial_usable()
     factor = 4
     if multigrid and h >= 8 * factor and w >= 8 * factor:
         # V-cycle: flood a max-pooled field first (coarse barriers >= true
@@ -437,6 +503,7 @@ def watershed(
             cstate, used = _watershed_sweeps(
                 cf, cmark, cmask, cfwd_i, cbwd_i, cstate, taps, cradius, n,
                 grace=grace,
+                use_pallas=use_pallas and (h // factor) * (w // factor) >= 256 * 256,
             )
             used = int(used)
             cdone += used
@@ -474,7 +541,7 @@ def watershed(
         n = min(chunk_iters, max_iters - done)
         state, used = _watershed_sweeps(
             field_j, markers_j, mask_j, fwd_int, bwd_int, state, taps, radius, n,
-            grace=grace,
+            grace=grace, use_pallas=use_pallas,
         )
         used = int(used)
         done += used

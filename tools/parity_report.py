@@ -65,6 +65,51 @@ def main():
     lines.append(
         "Gate: BASELINE.md requires label IoU >= 0.99 vs the CPU reference."
     )
+
+    detect_json = Path(__file__).parent.parent / "PARITY_DETECT.json"
+    if detect_json.exists():
+        import json
+
+        report = json.loads(detect_json.read_text())
+        lines += [
+            "",
+            "## Detect-chain parity (tools/parity_detect.py)",
+            "",
+            "The full `detect_cores -> get_anvil_markers -> detect_anvils`",
+            "chain over the package op stack vs the reference-semantics CPU",
+            "stack, identical flow fields injected into both.  Two warp",
+            "modes: `banded` is the TPU production path (separable",
+            "banded-shift warps, exact for locally smooth flow); `exact` is",
+            "per-pixel 2D gathers, cv2.remap-faithful to its 1/32",
+            "fixed-point quantisation.",
+            "",
+            "| scene:mode | growth max diff (K/min) | cores IoU | anvil-marker IoU | thick IoU / co-label | thin IoU / co-label |",
+            "|---|---|---|---|---|---|",
+        ]
+        for key, v in report.items():
+            lines.append(
+                f"| {key} | {v['growth_field_max_abs_diff']:.3f} "
+                f"| {v['cores']['mean_iou']:.3f} "
+                f"| {v['anvil_markers']['mean_iou']:.3f} "
+                f"| {v['thick_anvils']['mean_iou']:.3f} / {v['thick_anvils']['colabel_agreement']:.3f} "
+                f"| {v['thin_anvils']['mean_iou']:.3f} / {v['thin_anvils']['colabel_agreement']:.3f} |"
+            )
+        lines += [
+            "",
+            "Reading: in exact mode the dense growth fields match to cv2's",
+            "fixed-point quantisation and core objects are identical (IoU",
+            "1.0).  Anvil co-label agreement ~1.0 shows the watershed",
+            "assigns the same basin wherever both stacks label a pixel; the",
+            "residual anvil IoU gap is footprint fuzz on equal-minimax-cost",
+            "plateau boundaries against the -1 barrier seeds, which the",
+            "serial heap resolves by push age (a tie class by construction —",
+            "re-running the reference with any other heap insertion order",
+            "moves the same pixels).  Banded mode additionally degrades",
+            "core-marker thresholds in rough-flow regions: textureless noise",
+            "where the separable warp's cross-gradient bound is violated and",
+            "any optical-flow value is arbitrary.",
+        ]
+
     Path(__file__).parent.parent.joinpath("PARITY.md").write_text("\n".join(lines))
     print("wrote PARITY.md")
 
