@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tobac_flow_tpu.ops.warp import shift_plane, warp_plane
+from tobac_flow_tpu.utils.device_cache import device_put_cached
 
 __all__ = ["convolve", "structure_taps", "DEFAULT_STRUCTURE", "FAST_WARP"]
 
@@ -189,8 +190,8 @@ def convolve(
 
     return _convolve_jit(
         work,
-        jnp.asarray(forward_flow),
-        jnp.asarray(backward_flow),
+        device_put_cached(forward_flow),
+        device_put_cached(backward_flow),
         taps,
         method,
         fill_value,

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tobac_flow_tpu.ops.banded import banded_gather_axis
+from tobac_flow_tpu.utils.device_cache import device_put_cached
 
 __all__ = ["watershed"]
 
@@ -439,8 +440,8 @@ def watershed(
         max_iters = int(sum(field_j.shape)) + 32
 
     field_j = jnp.where(jnp.isnan(field_j), jnp.inf, field_j)
-    fwd_int = jnp.round(jnp.asarray(forward_flow)).astype(jnp.int32)
-    bwd_int = jnp.round(jnp.asarray(backward_flow)).astype(jnp.int32)
+    fwd_int = jnp.round(device_put_cached(forward_flow)).astype(jnp.int32)
+    bwd_int = jnp.round(device_put_cached(backward_flow)).astype(jnp.int32)
     if radius is None:
         # adaptive band radius: the temporal-tap cost scales with 2R+1, so
         # specialise to the 99th-percentile rounded displacement (one scalar
