@@ -180,6 +180,32 @@ def convolve(
         structure = DEFAULT_STRUCTURE
     taps = structure_taps(structure)
 
+    # Large windows are processed in time chunks with one-frame halos: the
+    # stencil is temporally local (t±1) so stitching is exact, and the
+    # whole-volume vmap otherwise keeps n_taps live (T, H, W) temporaries —
+    # a 27-tap GOES-day call wants >17 GB of HBM.
+    t_total, h, w = data.shape[:3]
+    n_taps = sum(len(p) for p in taps)
+    budget_tap_px = 600_000_000
+    chunk_t = max(4, int(budget_tap_px / max(n_taps, 1) / max(h * w, 1)))
+    if t_total > chunk_t:
+        outs = []
+        for s in range(0, int(t_total), chunk_t):
+            e = min(int(t_total), s + chunk_t)
+            s0, e0 = max(0, s - 1), min(int(t_total), e + 1)
+            sub = convolve(
+                data[s0:e0],
+                forward_flow[s0:e0],
+                backward_flow[s0:e0],
+                structure=structure,
+                method=method,
+                dtype=dtype,
+                fill_value=fill_value,
+                func=func,
+            )
+            outs.append(np.asarray(sub)[..., s - s0 : e - s0, :, :])
+        return np.concatenate(outs, axis=-3)
+
     data = jnp.asarray(data)
     out_dtype = jnp.dtype(dtype)
     if method == "nearest":

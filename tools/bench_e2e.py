@@ -101,9 +101,16 @@ def main(argv=None):
     from tobac_flow_tpu.utils.profiling import StageTimer
 
     t, h, w = args.t, args.y, args.x
-    print(datetime.now(), f"Building {t}x{h}x{w} day scene", flush=True)
-    bt_v, wvd_v, swd_v = make_day_scene(t, h, w, n_cells=args.cells,
-                                        seed=args.seed)
+    cache = Path(f"/tmp/bench_e2e_scene_{t}x{h}x{w}_c{args.cells}_s{args.seed}.npz")
+    if cache.exists():
+        print(datetime.now(), "Loading cached scene", cache, flush=True)
+        z = np.load(cache)
+        bt_v, wvd_v, swd_v = z["bt"], z["wvd"], z["swd"]
+    else:
+        print(datetime.now(), f"Building {t}x{h}x{w} day scene", flush=True)
+        bt_v, wvd_v, swd_v = make_day_scene(t, h, w, n_cells=args.cells,
+                                            seed=args.seed)
+        np.savez(cache, bt=bt_v, wvd=wvd_v, swd=swd_v)
 
     times = np.datetime64("2020-06-01T00:00:00", "ns") + np.arange(
         t
