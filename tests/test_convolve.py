@@ -181,3 +181,34 @@ def test_convolve_nearest_labels_warp():
     assert back[2, 2, 2] == 7  # frame 2 sees frame 1's label at the same spot
     assert forward[0, 2, 2] == 7  # frame 0 sees frame 1's label
     assert forward[1, 2, 2] == 0
+
+
+def test_time_chunked_convolve_matches_whole_volume(monkeypatch):
+    """Above the tap-pixel budget, convolve processes halo-overlapped time
+    chunks — stitched output must equal the whole-volume form exactly, and
+    halo-sized sub-windows must not recurse (regression: chunk_t + 2-frame
+    windows previously re-chunked forever)."""
+    import sys
+
+    import jax.numpy as jnp
+
+    conv = sys.modules["tobac_flow_tpu.ops.convolve"]
+    rng = np.random.default_rng(3)
+    t, h, w = 30, 24, 32
+    data = rng.normal(290, 5, (t, h, w)).astype(np.float32)
+    fwd = rng.uniform(-2, 2, (t, h, w, 2)).astype(np.float32)
+    bwd = rng.uniform(-2, 2, (t, h, w, 2)).astype(np.float32)
+    structure = np.ones((3, 3, 3))
+
+    def mean0(x):
+        return jnp.nanmean(x, axis=0)
+
+    full = np.asarray(
+        conv.convolve(data, fwd, bwd, structure=structure, func=mean0)
+    )
+    # budget small enough that chunk_t = 4 -> 6-frame sub-windows
+    monkeypatch.setattr(conv, "BUDGET_TAP_PX", 27 * 4 * h * w)
+    chunked = np.asarray(
+        conv.convolve(data, fwd, bwd, structure=structure, func=mean0)
+    )
+    np.testing.assert_array_equal(full, chunked)

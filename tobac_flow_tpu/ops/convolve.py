@@ -36,6 +36,11 @@ __all__ = ["convolve", "structure_taps", "DEFAULT_STRUCTURE", "FAST_WARP"]
 # exact per-pixel gather everywhere (CPU parity studies).
 FAST_WARP = True
 
+# tap-pixels (n_taps x T x H x W) above which `convolve` processes the time
+# axis in halo-overlapped chunks — the whole-volume vmap keeps one (T, H, W)
+# temporary live per tap and blows HBM on GOES-day windows
+BUDGET_TAP_PX = 600_000_000
+
 
 def _warp_plane_banded(img, flow, offsets, method, fill_value):
     from tobac_flow_tpu.ops.banded import warp_banded
@@ -186,9 +191,11 @@ def convolve(
     # a 27-tap GOES-day call wants >17 GB of HBM.
     t_total, h, w = data.shape[:3]
     n_taps = sum(len(p) for p in taps)
-    budget_tap_px = 600_000_000
-    chunk_t = max(4, int(budget_tap_px / max(n_taps, 1) / max(h * w, 1)))
-    if t_total > chunk_t:
+    chunk_t = max(4, int(BUDGET_TAP_PX / max(n_taps, 1) / max(h * w, 1)))
+    # only chunk when it helps: sub-windows are chunk_t + 2 frames (halo
+    # included), so anything at or below that must run whole or the
+    # recursion never terminates
+    if t_total > chunk_t + 2:
         outs = []
         for s in range(0, int(t_total), chunk_t):
             e = min(int(t_total), s + chunk_t)
