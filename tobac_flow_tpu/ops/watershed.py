@@ -213,6 +213,9 @@ def _banded_scatter_min(cost_s, cost2_s, meta_s, disp_y, disp_x, radius, meta_ma
         "taps", "radius", "n_iters", "spatial_per_temporal", "grace",
         "use_pallas",
     ),
+    # the packed state is rewritten every chunk: donating it lets XLA reuse
+    # the ~1.4 GB of buffers instead of holding input + output copies
+    donate_argnums=(5,),
 )
 def _watershed_sweeps(
     field, markers, mask, fwd_int, bwd_int, state, taps, radius, n_iters,
@@ -440,8 +443,17 @@ def watershed(
         max_iters = int(sum(field_j.shape)) + 32
 
     field_j = jnp.where(jnp.isnan(field_j), jnp.inf, field_j)
-    fwd_int = jnp.round(device_put_cached(forward_flow)).astype(jnp.int32)
-    bwd_int = jnp.round(device_put_cached(backward_flow)).astype(jnp.int32)
+    # rounded displacements fit int8 (flow is clipped to ±20 px upstream,
+    # reference flow.py:60-61) — at GOES-day scale the int32 form alone was
+    # 1.8 GB of HBM
+    fwd_int = (
+        jnp.clip(jnp.round(device_put_cached(forward_flow)), -127, 127)
+        .astype(jnp.int8)
+    )
+    bwd_int = (
+        jnp.clip(jnp.round(device_put_cached(backward_flow)), -127, 127)
+        .astype(jnp.int8)
+    )
     if radius is None:
         # adaptive band radius: the temporal-tap cost scales with 2R+1, so
         # specialise to the 99th-percentile rounded displacement (one scalar
@@ -536,6 +548,11 @@ def watershed(
             jnp.where(adopt, adopted_claim, state[1]),
             jnp.where(adopt, up_meta, state[2]),
         )
+        # free the coarse-grid and upsampled device buffers before the fine
+        # dispatches — at GOES-day scale they are several hundred MB of HBM
+        # the flood needs back
+        del cstate, cf, cmask, cmark, cfwd_i, cbwd_i
+        del up_claim, up_meta, up_label, adopt, adopted_claim, yi, xi, in_cov
 
     done = 0
     while done < max_iters:
