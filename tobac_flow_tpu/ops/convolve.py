@@ -213,7 +213,10 @@ def convolve(
             outs.append(np.asarray(sub)[..., s - s0 : e - s0, :, :])
         return np.concatenate(outs, axis=-3)
 
-    data = jnp.asarray(data)
+    # data repeats across the detection chain's many convolve calls (bt and
+    # wvd each feed several growth/filter passes) — cache the upload like
+    # the flow fields
+    data = device_put_cached(data)
     out_dtype = jnp.dtype(dtype)
     if method == "nearest":
         # nearest-neighbour gathers preserve the working dtype (labels stay int)

@@ -28,7 +28,8 @@ import numpy as np
 
 __all__ = ["device_put_cached", "clear_device_cache"]
 
-_MAX_ENTRIES = 8
+_MAX_ENTRIES = 4  # flows + a couple of data fields; pinned HBM must leave
+# room for the watershed's working set on a 16 GB chip
 _CACHE: OrderedDict = OrderedDict()
 
 
