@@ -94,6 +94,32 @@ def test_sharded_detect_step_runs(mesh):
         assert 1.0 < med < 3.0
 
 
+def test_sharded_detect_step_production_flow_config(mesh):
+    """The sharded step runs the CLI-default flow passes (variational
+    refinement + banded smoothing) inside the shard_map body — the flow it
+    produces must still recover the storm motion and stay finite."""
+    t, h, w = 8, 16, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    bt = np.stack(
+        [
+            290 - 50 * np.exp(-((xx - 16 - 2 * i) ** 2 + (yy - 8) ** 2) / 18.0)
+            for i in range(t)
+        ]
+    ).astype(np.float32)
+    wvd = (250 - bt) * 0.2 - 5
+    swd = 5 - (290 - bt) * 0.07
+    out = sharded_detect_step(
+        mesh, bt, wvd, swd, hx=4, ws_sweeps=2, vr_steps=1,
+        smoothing_passes=1, interp_method="cubic",
+    )
+    fwd = np.asarray(out[0])
+    assert np.isfinite(fwd).all()
+    m = bt < 260
+    if m[1:-1].sum() > 50:
+        med = np.median(fwd[1:-1][m[1:-1]][:, 0])
+        assert 1.0 < med < 3.0
+
+
 def test_sharded_flow_label_zero_flow_matches_scipy():
     from scipy import ndimage as ndi
 

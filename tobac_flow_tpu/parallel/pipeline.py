@@ -42,19 +42,34 @@ def _normalise_pair_block(prev, nxt):
     return jnp.round(a), jnp.round(b)
 
 
-def _local_flow(bt_h, params):
+def _local_flow(bt_h, params, vr_steps=0, smoothing_passes=0,
+                interp_method="linear"):
     """Forward/backward flow for a halo-extended (T_l + 2, H, W) block.
 
-    Returns flows for the T_l interior frames.
+    Returns flows for the T_l interior frames.  ``vr_steps`` /
+    ``smoothing_passes`` mirror the CLI-default ``create_flow``
+    configuration: both are elementwise + banded-shift passes (no
+    collectives), so they run unchanged inside the shard_map body — banded
+    warps near tile edges read the x halo, so pass ``hx`` of at least the
+    warp band (~21 px) for edge-exact production flows.
     """
     t_ext = bt_h.shape[0]
 
     def pair(i):
         p8, n8 = _normalise_pair_block(bt_h[i], bt_h[i + 1])
-        return (
-            farneback_pair(p8, n8, params),
-            farneback_pair(n8, p8, params),
-        )
+        fwd = farneback_pair(p8, n8, params)
+        bwd = farneback_pair(n8, p8, params)
+        if vr_steps > 0:
+            from tobac_flow_tpu.models.variational import variational_refine
+
+            fwd = variational_refine(p8, n8, fwd, steps=vr_steps)
+            bwd = variational_refine(n8, p8, bwd, steps=vr_steps)
+        if smoothing_passes > 0:
+            from tobac_flow_tpu.core.flow import smooth_flow_step
+
+            for _ in range(smoothing_passes):
+                fwd, bwd = smooth_flow_step(fwd, bwd, method=interp_method)
+        return fwd, bwd
 
     fwds, bwds = [], []
     for j in range(t_ext - 1):  # static unroll over local pairs
@@ -110,7 +125,9 @@ def _nanmean_taps(taps):
     return jnp.where(count > 0, total / jnp.maximum(count, 1), jnp.nan)
 
 
-def _detect_step_local(bt, wvd, swd, dt_minutes, params, hx, ws_sweeps):
+def _detect_step_local(bt, wvd, swd, dt_minutes, params, hx, ws_sweeps,
+                       vr_steps=0, smoothing_passes=0,
+                       interp_method="linear"):
     """shard_map body: local (T_l, H, W_l) blocks + halo exchanges."""
     nan = jnp.float32(jnp.nan)
 
@@ -122,7 +139,10 @@ def _detect_step_local(bt, wvd, swd, dt_minutes, params, hx, ws_sweeps):
     wvd_h = halo_exchange_t(wvd_x, halo=1, fill_value=nan)
 
     # -- optical flow on extended tiles ---------------------------------
-    fwd, bwd = _local_flow(bt_h, params)
+    fwd, bwd = _local_flow(
+        bt_h, params, vr_steps=vr_steps,
+        smoothing_passes=smoothing_passes, interp_method=interp_method,
+    )
     fwd = jnp.clip(fwd, -20.0, 20.0)
     bwd = jnp.clip(bwd, -20.0, 20.0)
     # reference boundary rule at the global sequence ends
@@ -220,6 +240,9 @@ def make_sharded_step(
     params: FarnebackParams | None = None,
     hx: int = 8,
     ws_sweeps: int = 4,
+    vr_steps: int = 0,
+    smoothing_passes: int = 0,
+    interp_method: str = "linear",
 ):
     """Build the jitted SPMD detection step for a given mesh.
 
@@ -237,6 +260,9 @@ def make_sharded_step(
         params=params,
         hx=hx,
         ws_sweeps=ws_sweeps,
+        vr_steps=vr_steps,
+        smoothing_passes=smoothing_passes,
+        interp_method=interp_method,
     )
     flow_spec = P("t", None, "x", None)
     mapped = jax.shard_map(
