@@ -212,3 +212,35 @@ def test_time_chunked_convolve_matches_whole_volume(monkeypatch):
         conv.convolve(data, fwd, bwd, structure=structure, func=mean0)
     )
     np.testing.assert_array_equal(full, chunked)
+
+
+def test_set_fast_warp_switches_path():
+    """set_fast_warp must flip the module global the warp dispatch reads
+    (direct attribute assignment through `tobac_flow_tpu.ops.convolve` hits
+    the re-exported *function*, not the module — the reason this API
+    exists)."""
+    import sys
+
+    conv = sys.modules["tobac_flow_tpu.ops.convolve"]
+    assert conv.FAST_WARP is True
+    prev = conv.set_fast_warp(False)
+    try:
+        assert prev is True
+        assert conv.FAST_WARP is False
+        # banded vs exact genuinely differ on rough flow
+        rng = np.random.default_rng(7)
+        h, w = 48, 64
+        data = rng.normal(0, 1, (3, h, w)).astype(np.float32)
+        flow = rng.uniform(-15, 15, (3, h, w, 2)).astype(np.float32)
+        import jax.numpy as jnp
+
+        def mean0(x):
+            return jnp.nanmean(x, axis=0)
+
+        exact = np.asarray(conv.convolve(data, flow, flow, func=mean0))
+        conv.set_fast_warp(True)
+        banded = np.asarray(conv.convolve(data, flow, flow, func=mean0))
+        both = np.isfinite(exact) & np.isfinite(banded)
+        assert np.abs(exact[both] - banded[both]).max() > 0.01
+    finally:
+        conv.set_fast_warp(True)

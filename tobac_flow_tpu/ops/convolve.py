@@ -28,7 +28,13 @@ import numpy as np
 from tobac_flow_tpu.ops.warp import shift_plane, warp_plane
 from tobac_flow_tpu.utils.device_cache import device_put_cached
 
-__all__ = ["convolve", "structure_taps", "DEFAULT_STRUCTURE", "FAST_WARP"]
+__all__ = [
+    "convolve",
+    "structure_taps",
+    "DEFAULT_STRUCTURE",
+    "FAST_WARP",
+    "set_fast_warp",
+]
 
 # When True (default), nearest/linear/cubic flow-warps use the banded-shift
 # gather (ops/banded.py) — the TPU-fast path, exact for constant flow and
@@ -40,6 +46,27 @@ FAST_WARP = True
 # axis in halo-overlapped chunks — the whole-volume vmap keeps one (T, H, W)
 # temporary live per tap and blows HBM on GOES-day windows
 BUDGET_TAP_PX = 600_000_000
+
+
+def set_fast_warp(enabled: bool) -> bool:
+    """Select the warp implementation for all flow-warped ops.
+
+    ``True`` (default): banded-shift separable warps — the TPU-fast path,
+    cv2-exact wherever the flow field is locally smooth.  ``False``: exact
+    per-pixel 2D gathers (cv2.remap-faithful to its 1/32 fixed-point
+    quantisation) — the right choice for CPU parity studies; pathologically
+    slow on this TPU stack.
+
+    Exists as a function because ``tobac_flow_tpu.ops.convolve`` names the
+    *function* re-exported by the package (it shadows this module), so
+    ``...ops.convolve.FAST_WARP = False`` silently sets an attribute on the
+    function object instead of the module global.  Returns the previous
+    value.
+    """
+    global FAST_WARP
+    prev = FAST_WARP
+    FAST_WARP = bool(enabled)
+    return prev
 
 
 def _warp_plane_banded(img, flow, offsets, method, fill_value):

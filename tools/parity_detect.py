@@ -187,19 +187,18 @@ def main():
     beyond that is footprint fuzz at equal-minimax-cost plateau boundaries
     (the serial heap resolves those by push age, a tie class by
     construction)."""
-    import importlib
+    from tobac_flow_tpu.ops.convolve import set_fast_warp
 
-    conv = importlib.import_module("tobac_flow_tpu.ops.convolve")
     sizes = [(12, 192, 256), (16, 256, 384), (16, 384, 512)]
     report = {}
     for t, h, w in sizes:
         for mode in ("banded", "exact"):
-            conv.FAST_WARP = mode == "banded"
+            set_fast_warp(mode == "banded")
             key = f"{t}x{h}x{w}:{mode}"
             print(f"== {key} ==", flush=True)
             report[key] = parity_at(t, h, w)
             print(json.dumps(report[key], indent=2), flush=True)
-    conv.FAST_WARP = True
+    set_fast_warp(True)
     print(json.dumps(report))
     Path(__file__).parent.parent.joinpath("PARITY_DETECT.json").write_text(
         json.dumps(report, indent=2)
