@@ -537,8 +537,41 @@ def watershed(
         # the rim is claimed by the arriving fine flood (a label change, so
         # convergence waits for it).
         up_label = (up_meta & ((1 << 23) - 1)) - 2
+        # negative (barrier) labels ARE adopted where the coarse cell sits
+        # deep inside barrier territory and is not itself a pooled -1 marker
+        # seed: for such cells the coarse claim is a genuinely flooded value
+        # and the positive-label upper-bound argument applies verbatim.
+        # Without this, the vast -1 region floods from scratch at fine
+        # resolution (~1 px per sweep) and a GOES-day anvil watershed spends
+        # hundreds of rounds on the barrier tail.  Boundary cells — any
+        # coarse cell that pooled a -1 marker, or whose 6-neighbourhood is
+        # not all-negative — stay unadopted, which is exactly the regression
+        # case test_negative_marker_boundary_multigrid pins (an adopted
+        # boundary -1 claim at cost field(p) is unbeatable).
+        clabel = jnp.where(
+            cstate[2] == meta_max, 0, (cstate[2] & ((1 << 23) - 1)) - 2
+        )
+        neg_cell = (clabel < 0) & ~cseeded
+        deep_neg = neg_cell
+        for axis, dlt in ((0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)):
+            shifted = jnp.roll(clabel < 0, dlt, axis)
+            # roll wraps; wrapped faces are barrier-adjacent only if the
+            # opposite face is — conservatively mask the wrapped slice
+            idx = jax.lax.broadcasted_iota(jnp.int32, clabel.shape, axis)
+            n_ax = clabel.shape[axis]
+            valid = (idx >= dlt) & (idx < n_ax + dlt) if dlt > 0 else (
+                (idx >= 0) & (idx < n_ax + dlt)
+            )
+            deep_neg = deep_neg & jnp.where(valid, shifted, False)
+        up_deep_neg = _upsample_nearest(
+            deep_neg.astype(jnp.int32), factor, h, w
+        ).astype(bool)
         adopt = (
-            mask_j & ~seeded & (up_meta != meta_max) & (up_label >= 1) & in_cov
+            mask_j
+            & ~seeded
+            & (up_meta != meta_max)
+            & ((up_label >= 1) | up_deep_neg)
+            & in_cov
         )
         adopted_claim = jnp.maximum(up_claim, field_j)
         state = (
@@ -553,6 +586,7 @@ def watershed(
         # the flood needs back
         del cstate, cf, cmask, cmark, cfwd_i, cbwd_i
         del up_claim, up_meta, up_label, adopt, adopted_claim, yi, xi, in_cov
+        del clabel, neg_cell, deep_neg, up_deep_neg
 
     done = 0
     while done < max_iters:
