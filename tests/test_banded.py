@@ -7,6 +7,7 @@ from tobac_flow_tpu.ops.banded import (
     banded_gather_axis,
     banded_warp_axis,
     warp_banded,
+    warp_banded_exact,
 )
 from tobac_flow_tpu.ops.warp import warp_plane
 
@@ -64,6 +65,58 @@ def test_warp_banded_smooth_flow_close_to_exact():
     both = np.isfinite(exact) & np.isfinite(band)
     close = np.isclose(exact[both], band[both], atol=0.3)
     assert close.mean() > 0.98
+
+
+@pytest.mark.parametrize("method", ["linear", "cubic", "nearest"])
+def test_warp_banded_exact_matches_gather_on_rough_flow(method):
+    # ROUGH per-pixel random flow — the regime where the separable two-pass
+    # warp diverges (dy evaluated at the x-shifted column).  The exact banded
+    # form must match the per-pixel gather path bit-for-bit up to fp
+    # accumulation order.
+    rng = np.random.default_rng(7)
+    img = rng.normal(0, 10, (33, 47)).astype(np.float32)
+    flow = rng.uniform(-3.7, 3.7, (33, 47, 2)).astype(np.float32)
+    # sprinkle exact-integer displacements to exercise the zero-weight masking
+    mask = rng.random((33, 47)) < 0.2
+    flow[mask] = np.round(flow[mask])
+    exact = np.asarray(warp_plane(img, flow, [(0, 0)], method=method))[0]
+    band = np.asarray(
+        warp_banded_exact(img, flow, method=method, radius_y=5, radius_x=5)
+    )
+    assert np.array_equal(np.isnan(exact), np.isnan(band))
+    ok = np.isfinite(exact)
+    assert np.allclose(exact[ok], band[ok], atol=1e-4)
+
+
+def test_warp_banded_exact_beats_separable_on_rough_flow():
+    # sanity that the test above is actually exercising the failure mode
+    rng = np.random.default_rng(3)
+    img = rng.normal(0, 10, (40, 40)).astype(np.float32)
+    flow = rng.uniform(-3.0, 3.0, (40, 40, 2)).astype(np.float32)
+    oracle = np.asarray(warp_plane(img, flow, [(0, 0)], method="linear"))[0]
+    sep = np.asarray(warp_banded(img, flow, radius=4, method="linear"))
+    ex = np.asarray(warp_banded_exact(img, flow, radius_y=4, radius_x=4))
+    ok = np.isfinite(oracle) & np.isfinite(sep) & np.isfinite(ex)
+    err_sep = np.abs(sep[ok] - oracle[ok]).max()
+    err_ex = np.abs(ex[ok] - oracle[ok]).max()
+    assert err_ex < 1e-4 < err_sep
+
+
+def test_warp_banded_exact_batched_and_edge_mode():
+    rng = np.random.default_rng(11)
+    img = rng.normal(0, 5, (3, 17, 21)).astype(np.float32)
+    flow = rng.uniform(-2.5, 2.5, (3, 17, 21, 2)).astype(np.float32)
+    out = np.asarray(
+        warp_banded_exact(img, flow, radius_y=4, radius_x=4, pad_mode="edge")
+    )
+    # edge padding: no NaNs anywhere, and interior matches the gather oracle
+    assert np.isfinite(out).all()
+    for t in range(3):
+        oracle = np.asarray(warp_plane(img[t], flow[t], [(0, 0)], method="linear"))[0]
+        ok = np.isfinite(oracle)
+        ok[:4] = ok[-4:] = False
+        ok[:, :4] = ok[:, -4:] = False
+        assert np.allclose(oracle[ok], out[t][ok], atol=1e-4)
 
 
 def test_warp_banded_nearest_int_labels():

@@ -241,6 +241,14 @@ def test_set_fast_warp_switches_path():
         conv.set_fast_warp(True)
         banded = np.asarray(conv.convolve(data, flow, flow, func=mean0))
         both = np.isfinite(exact) & np.isfinite(banded)
-        assert np.abs(exact[both] - banded[both]).max() > 0.01
+        # the production banded path is now the exact 2D factorisation: it
+        # must MATCH the per-pixel gather path even on rough flow
+        assert np.abs(exact[both] - banded[both]).max() < 1e-3
+        # ... while the separable two-pass variant genuinely differs there
+        conv.set_banded_exact(False)
+        sep = np.asarray(conv.convolve(data, flow, flow, func=mean0))
+        both = np.isfinite(exact) & np.isfinite(sep)
+        assert np.abs(exact[both] - sep[both]).max() > 0.01
     finally:
         conv.set_fast_warp(True)
+        conv.set_banded_exact(True)

@@ -75,6 +75,51 @@ def archive_bytes():
     )
 
 
+def _msg29(body_len):
+    """Variable-length message-29 frame (model data): CTM + header + body."""
+    size_hw = (16 + body_len) // 2
+    msg_header = struct.pack(">HBBHHIHH", size_hw, 0, 29, 1, 18500, 0, 1, 1)
+    return b"\x00" * 12 + msg_header + b"\x07" * body_len
+
+
+def test_uncompressed_archive_decodes(archive_bytes):
+    """A non-bzip2 archive is a raw message stream starting right after the
+    24-byte volume header (pyart framing: no 4-byte control-word skip)."""
+    from tobac_flow_tpu.data.nexrad_level2 import decode_archive_bytes
+
+    radials_stream = (
+        _msg31(90.0, 0.5, [66, 70, 74, 78])
+        + _msg31(180.0, 0.5, [80, 84, 88, 92])
+    )
+    raw_archive = (
+        struct.pack(">9s3siI4s", b"AR2V0006.", b"001", 18500, 0, b"KTLX")
+        + radials_stream
+    )
+    header, radials = decode_archive_bytes(raw_archive)
+    assert header["icao"] == "KTLX"
+    assert len(radials) == 2
+    assert radials[0]["azimuth"] == 90.0
+    assert radials[1]["azimuth"] == 180.0
+
+
+def test_variable_length_message29_does_not_desync(archive_bytes):
+    """Message 29 is variable-length: its size field must be honoured (a
+    fixed 2432-byte skip would desync every following radial)."""
+    from tobac_flow_tpu.data.nexrad_level2 import decode_archive_bytes
+
+    stream = (
+        _msg31(90.0, 0.5, [66, 70, 74, 78])
+        + _msg29(body_len=300)  # != 2432 - 12 - 16: would desync if skipped
+        + _msg31(180.0, 0.5, [80, 84, 88, 92])
+    )
+    raw_archive = (
+        struct.pack(">9s3siI4s", b"AR2V0006.", b"001", 18500, 0, b"KTLX")
+        + stream
+    )
+    _, radials = decode_archive_bytes(raw_archive)
+    assert [r["azimuth"] for r in radials] == [90.0, 180.0]
+
+
 def test_decode_header_and_radials(archive_bytes):
     header, radials = decode_archive_bytes(archive_bytes)
     assert header["icao"] == "KTLX"

@@ -199,6 +199,58 @@ def test_smooth_field_oracle_iou():
     assert iou_per_label(oracle, ours) >= 0.95
 
 
+def test_deep_interior_negative_flood_multigrid():
+    # regression (ADVICE r2): the multigrid coarse flood adopts -1 labels deep
+    # inside FLOODED (non-seed) negative territory.  Adoption must not flip
+    # any uniquely-assigned pixel vs the serial-heap oracle — including when
+    # an equal-minimax-cost plateau sits right at the -1/positive frontier —
+    # and tie pixels must still land on a genuine minimax co-winner.
+    h, w = 64, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = np.sqrt((yy - 32.0) ** 2 + (xx - 32.0) ** 2)
+    # inner bowl (unique label-1), exact-0.5 plateau ring (tie class at the
+    # frontier), shallow outer moat (unique -1, flooded from a thin border
+    # ring of -1 seeds => a LARGE non-seed negative region deep inside)
+    f2 = np.where(r < 10, 0.05 * (r - 10.0), 0.5).astype(np.float32)
+    f2[r >= 22] = 0.3
+    field = np.stack([f2, f2])
+    markers2 = np.zeros((h, w), np.int32)
+    markers2[r < 3] = 1
+    markers2[:2] = markers2[-2:] = -1
+    markers2[:, :2] = markers2[:, -2:] = -1
+    markers = np.stack([markers2, markers2])
+    st = np.zeros((3, 3, 3), bool)
+    st[1, 1, :] = True
+    st[1, :, 1] = True
+
+    mg = watershed(
+        zflow(field.shape), zflow(field.shape), field, markers,
+        connectivity=st, multigrid=True,
+    )
+    plain = watershed(
+        zflow(field.shape), zflow(field.shape), field, markers,
+        connectivity=st, multigrid=False,
+    )
+    oracle = flow_watershed_host(
+        zflow(field.shape), zflow(field.shape), field, markers
+    )
+
+    costs = _minimax_costs(field, markers, (1, -1))
+    unique_1 = costs[0] < costs[1]
+    unique_n = costs[1] < costs[0]
+    tie = costs[0] == costs[1]
+    assert tie.any()  # the scene really has a frontier plateau tie class
+    assert unique_n.sum() > 1000  # ... and a deep flooded -1 interior
+    for out in (mg, plain):
+        out = np.asarray(out)
+        assert np.array_equal(out[unique_1], oracle[unique_1])
+        assert np.array_equal(out[unique_n], oracle[unique_n])
+        assert np.all(out[unique_1] == 1)
+        assert np.all(out[unique_n] == -1)
+        # plateau ties: any minimax co-winner is a valid assignment
+        assert np.all(np.isin(out[tie], (1, -1)))
+
+
 def test_negative_marker_boundary_multigrid():
     # regression: coarse cells straddling a mask boundary pool -1 markers and
     # must NOT hand the fine rim an unbeatable -1 claim — the whole in-mask

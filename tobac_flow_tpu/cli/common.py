@@ -67,6 +67,7 @@ class DetectionOptions:
         save_swd=False,
         save_anvil_markers=False,
         checkpoint_path=None,
+        flow_factory=None,
     ):
         self.__dict__.update(locals())
         del self.__dict__["self"]
@@ -97,13 +98,18 @@ def run_detection(
 
     print(datetime.now(), "Calculating flow field", flush=True)
     with stage("flow"):
-        flow = create_flow(
-            bt,
-            model=opts.flow_model,
-            vr_steps=opts.vr_steps,
-            smoothing_passes=opts.smoothing_passes,
-            interp_method=opts.interp_method,
-        )
+        if opts.flow_factory is not None:
+            # pluggable flow construction (e.g. the reference-semantics CPU
+            # stack for end-to-end baseline measurement, tools/bench_e2e.py)
+            flow = opts.flow_factory(bt)
+        else:
+            flow = create_flow(
+                bt,
+                model=opts.flow_model,
+                vr_steps=opts.vr_steps,
+                smoothing_passes=opts.smoothing_passes,
+                interp_method=opts.interp_method,
+            )
 
     print(datetime.now(), "Detecting growth markers", flush=True)
     with stage("detect_cores"):

@@ -144,6 +144,10 @@ def calculate_flow_2(
 class Flow(AbstractFlow):
     """Semi-Lagrangian operations driven by dense optical flow fields."""
 
+    # opt-in for the fused detection programs (detect/fused.py); parity
+    # subclasses carrying their own op stacks must set this False
+    fused_detect = True
+
     def __init__(self, forward_flow, backward_flow) -> None:
         if forward_flow.shape != backward_flow.shape:
             raise ValueError(

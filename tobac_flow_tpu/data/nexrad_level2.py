@@ -78,8 +78,18 @@ def gate_lat_lon_alt(site_lat, site_lon, site_alt, azimuth_deg, elevation_deg, r
 
 
 def _iter_ldm_records(buf):
-    """Yield decompressed LDM record payloads (or the raw tail when the
-    archive is not bzip2-compressed)."""
+    """Yield decompressed LDM record payloads, or the raw message stream for
+    an uncompressed archive.
+
+    Compression is sniffed the way pyart does: bytes 4:6 of the post-header
+    buffer hold ``BZ`` when LDM records are bzip2 blocks behind a 4-byte
+    control word.  When absent, the WHOLE buffer is the message stream —
+    its first 12 bytes are a CTM header, not a control word, so nothing may
+    be skipped (dropping 4 bytes desyncs the 12-byte CTM framing, and a CTM
+    starting with zero bytes would read as a zero control word)."""
+    if buf[4:6] != b"BZ":
+        yield buf
+        return
     pos = 0
     n = len(buf)
     while pos + 4 <= n:
@@ -91,10 +101,6 @@ def _iter_ldm_records(buf):
         chunk = buf[pos + 4 : pos + 4 + size]
         if chunk[:3] == b"BZh":
             yield bz2.decompress(chunk)
-        else:
-            # uncompressed archive: everything from here is the message stream
-            yield buf[pos + 4 :]
-            return
         pos += 4 + size
         if last:
             break
@@ -189,6 +195,15 @@ def decode_archive_bytes(buf):
                 if radial is not None:
                     radials.append(radial)
                 pos = end
+            elif mtype == 29:
+                # message 29 (model data) is variable-length: honour the
+                # size field (halfwords; 65535 flags an oversize message
+                # whose byte length rides the segment fields, RDA/RPG ICD)
+                if size_hw == 65535:
+                    size_b = (_nseg << 16) | _seg
+                else:
+                    size_b = size_hw * 2
+                pos += 12 + size_b
             else:
                 # legacy messages (and inter-message zero padding) occupy
                 # fixed 2432-byte frames

@@ -207,32 +207,51 @@ def detect_cores(
     use_wvd=True,
 ):
     """Detect growing convective cores from BT/WVD/SWD channels
-    (reference ``detection.py:372-482``, identical defaults)."""
-    combined_filter = get_combined_filters(flow, bt, wvd, swd, use_wvd=use_wvd)
+    (reference ``detection.py:372-482``, identical defaults).
 
-    s_struct = _s_struct_2d().copy()
-    s_struct[0] = 0
-    s_struct[2] = 0
+    On the package's device Flow the dense front-end (combined filters +
+    growth rates + marker thresholds) runs as one fused XLA program
+    (``detect.fused``) — bit-identical to the op-by-op form below, which
+    remains the path for alternative op stacks (parity oracles)."""
+    from tobac_flow_tpu.detect import fused as _fused
 
-    bt_growth = np.asarray(get_growth_rate(flow, -bt, method="cubic"))
-    bt_markers = (bt_growth * combined_filter) > bt_threshold
-
-    if use_wvd:
-        wvd_growth = np.asarray(get_growth_rate(flow, wvd, method="cubic"))
-        wvd_markers = (wvd_growth * combined_filter) > wvd_threshold
-        combined_markers = np.asarray(
-            morph.binary_opening(
-                np.logical_or(wvd_markers, bt_markers), structure=s_struct
-            )
+    if _fused.supports_fused(flow):
+        combined_markers, bt_area, wvd_area = _fused.fused_core_markers(
+            flow, bt, wvd, swd,
+            use_wvd=use_wvd,
+            wvd_threshold=wvd_threshold,
+            bt_threshold=bt_threshold,
         )
-        print("WVD growth above threshold: area =", np.sum(wvd_markers))
+        if use_wvd:
+            print("WVD growth above threshold: area =", wvd_area)
+        print("BT growth above threshold: area =", bt_area)
+        print("Detected markers: area =", np.sum(combined_markers))
     else:
-        combined_markers = np.asarray(
-            morph.binary_opening(bt_markers, structure=s_struct)
-        )
+        combined_filter = get_combined_filters(flow, bt, wvd, swd, use_wvd=use_wvd)
 
-    print("BT growth above threshold: area =", np.sum(bt_markers))
-    print("Detected markers: area =", np.sum(combined_markers))
+        s_struct = _s_struct_2d().copy()
+        s_struct[0] = 0
+        s_struct[2] = 0
+
+        bt_growth = np.asarray(get_growth_rate(flow, -bt, method="cubic"))
+        bt_markers = (bt_growth * combined_filter) > bt_threshold
+
+        if use_wvd:
+            wvd_growth = np.asarray(get_growth_rate(flow, wvd, method="cubic"))
+            wvd_markers = (wvd_growth * combined_filter) > wvd_threshold
+            combined_markers = np.asarray(
+                morph.binary_opening(
+                    np.logical_or(wvd_markers, bt_markers), structure=s_struct
+                )
+            )
+            print("WVD growth above threshold: area =", np.sum(wvd_markers))
+        else:
+            combined_markers = np.asarray(
+                morph.binary_opening(bt_markers, structure=s_struct)
+            )
+
+        print("BT growth above threshold: area =", np.sum(bt_markers))
+        print("Detected markers: area =", np.sum(combined_markers))
 
     core_labels = flow.label(
         combined_markers,
@@ -323,8 +342,15 @@ def get_anvil_markers(
 ):
     """Anvil seed markers from a thresholded field (reference
     ``detection.py:500-520``)."""
+    from tobac_flow_tpu.detect import fused as _fused
+
     s_struct = _s_struct_2d()
-    mask = np.asarray(morph.binary_opening(_vals(field) >= threshold, structure=s_struct))
+    if _fused.supports_fused(flow):
+        mask = _fused.fused_anvil_marker_mask(field, threshold)
+    else:
+        mask = np.asarray(
+            morph.binary_opening(_vals(field) >= threshold, structure=s_struct)
+        )
     marker_labels = flow.label(
         mask,
         overlap=overlap,
@@ -389,28 +415,48 @@ def detect_anvils(
     min_length=3,
 ):
     """Watershed anvil segmentation seeded by markers (reference
-    ``detection.py:538-587``)."""
-    field = linearise_field(_vals(field), lower_threshold, upper_threshold)
+    ``detection.py:538-587``).
+
+    On the device Flow with explicit markers, the dense prep (linearise,
+    marker erosion, watershed mask, uphill-Sobel edges) and the post pass run
+    as fused device programs feeding the watershed without host round trips
+    (``detect.fused``)."""
+    from tobac_flow_tpu.detect import fused as _fused
+
     s_struct = _s_struct_2d()
-    if markers is None:
-        markers = field >= 1
-    markers = _vals(markers)
-    eroded_markers = markers * np.asarray(
-        morph.binary_erosion(markers != 0, structure=s_struct)
-    ).astype(int)
-    mask = get_watershed_mask(field, erode_distance=erode_distance)
-    eroded_markers[mask] = -1
-    edges = get_combined_edge_field(flow, field)
     conn = np.abs(np.indices((3, 3, 3)) - 1).sum(axis=0) <= 1
-    anvil_labels = flow.watershed(edges, eroded_markers, mask=None, connectivity=conn)
+    if _fused.supports_fused(flow) and markers is not None:
+        markers = _vals(markers)
+        edges, eroded_markers = _fused.fused_anvil_pre_watershed(
+            flow, field, markers, lower_threshold, upper_threshold, erode_distance
+        )
+        raw_labels = flow.watershed(
+            edges, eroded_markers, mask=None, connectivity=conn
+        )
+        del edges, eroded_markers
+        anvil_labels = _fused.fused_anvil_post_watershed(raw_labels, markers)
+    else:
+        field = linearise_field(_vals(field), lower_threshold, upper_threshold)
+        if markers is None:
+            markers = field >= 1
+        markers = _vals(markers)
+        eroded_markers = markers * np.asarray(
+            morph.binary_erosion(markers != 0, structure=s_struct)
+        ).astype(int)
+        mask = get_watershed_mask(field, erode_distance=erode_distance)
+        eroded_markers[mask] = -1
+        edges = get_combined_edge_field(flow, field)
+        anvil_labels = flow.watershed(
+            edges, eroded_markers, mask=None, connectivity=conn
+        )
 
-    anvil_labels[anvil_labels < 0] = 0
-    anvil_labels *= np.asarray(
-        morph.binary_opening(anvil_labels != 0, structure=s_struct)
-    ).astype(int)
+        anvil_labels[anvil_labels < 0] = 0
+        anvil_labels *= np.asarray(
+            morph.binary_opening(anvil_labels != 0, structure=s_struct)
+        ).astype(int)
 
-    wh_markers = markers > 0
-    anvil_labels[wh_markers] = markers[wh_markers]
+        wh_markers = markers > 0
+        anvil_labels[wh_markers] = markers[wh_markers]
 
     lengths = find_object_lengths(anvil_labels)
     marker_overlap = mask_labels(anvil_labels, markers != 0)

@@ -1,0 +1,433 @@
+"""Fused single-dispatch device programs for the detection chain's dense stages.
+
+The op-by-op science layer (``detect/detection.py``) is readable and
+polymorphic over op stacks, but every intermediate makes a host↔device round
+trip — at GOES-day scale each stage moves gigabytes over the link and issues
+hundreds of dispatches (the per-frame peak-filter loop alone is T dispatches
+of a 441-offset dilation).  These fused forms trace each stage's whole dense
+front-end into ONE XLA program over device-resident inputs (flows and fields
+ride the identity-keyed transfer cache), reading back only the stage's
+boolean/label product.
+
+Semantics are bit-identical to the op-by-op path (asserted by
+``tests/test_fused_detect.py``): the same inner jitted building blocks are
+reused (``_convolve_impl``, ``_binary_morph``, ``_fill_holes_device``,
+``_sepconv_reflect``), with two mechanical rewrites — the 21×21 peak
+max-filter runs separably (rows then columns, exact for rectangle max) and
+batched over frames instead of per-frame.
+
+Reference behaviour: ``tobac_flow/detection.py:301-354`` (combined filters),
+``372-482`` (core markers), ``500-520`` (anvil markers), ``538-642``
+(anvil watershed prep).  Large windows are processed in host time-chunks
+with stencil-matching frame halos, so HBM stays bounded exactly like
+``ops.convolve``'s BUDGET_TAP_PX path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tobac_flow_tpu.ops import convolve as _conv_fn  # function (module shadowed)
+from tobac_flow_tpu.ops.convolve import (
+    _convolve_impl,
+    _flow_band_radii,
+    structure_taps,
+)
+from tobac_flow_tpu.ops.morphology import (
+    _binary_morph,
+    _fill_holes_device,
+    _gauss_kernel,
+    _grey_morph,
+    _sepconv_reflect,
+    _structure_offsets,
+)
+from tobac_flow_tpu.ops.sobel import _FULL_STRUCTURE, _sobel_func_uphill
+from tobac_flow_tpu.utils.device_cache import device_put_cached
+
+__all__ = [
+    "fused_core_markers",
+    "fused_anvil_marker_mask",
+    "fused_anvil_pre_watershed",
+    "fused_anvil_post_watershed",
+    "set_fused_detect",
+    "supports_fused",
+]
+
+# Master switch (A/B studies); a function for the same module-shadowing
+# reason as convolve.set_fast_warp.
+FUSED_DETECT = True
+
+# pixel-taps budget per fused dispatch, matching ops.convolve.BUDGET_TAP_PX's
+# role: above this the stage runs in host time-chunks with frame halos
+BUDGET_PX = 20_000_000
+
+
+def set_fused_detect(enabled: bool) -> bool:
+    global FUSED_DETECT
+    prev = FUSED_DETECT
+    FUSED_DETECT = bool(enabled)
+    return prev
+
+
+def supports_fused(flow) -> bool:
+    """True when ``flow`` opts into the fused device programs and fusing is
+    enabled.  The opt-in is the ``fused_detect`` class attribute — True on
+    the package's device Flow; alternative op stacks that SUBCLASS it for
+    parity studies (tools/cpu_reference.CpuFlow) set it False so the science
+    layer keeps calling their overridden op methods."""
+    return FUSED_DETECT and getattr(flow, "fused_detect", False)
+
+
+# ---------------------------------------------------------------------------
+# static structures (mirror detection.py's module-level constructions)
+# ---------------------------------------------------------------------------
+
+
+def _t_struct_taps():
+    s = np.zeros((3, 3, 3), bool)
+    s[:, 1, 1] = True
+    return structure_taps(s)
+
+
+def _s2d():
+    grid = np.abs(np.indices((3, 3, 3)) - 1).sum(axis=0)
+    s = grid <= 1
+    s[0] = 0
+    s[2] = 0
+    return s
+
+
+_T_TAPS = _t_struct_taps()
+_S2D_OFFS = _structure_offsets(_s2d(), 3)
+_S2D_TAPS = structure_taps(_s2d())
+_FULL_TAPS = structure_taps(_FULL_STRUCTURE)
+_B3_OFFS = _structure_offsets(np.ones((3, 3, 3), bool), 3)
+
+# EDT<5 disk (detection.py:123-124), lifted to (t, y, x) offsets
+_yy, _xx = np.mgrid[-4:5, -4:5]
+_DISK_OFFS = tuple(
+    (0, int(dy), int(dx))
+    for dy, dx in zip(*np.nonzero((_yy**2 + _xx**2) < 25))
+    for dy, dx in [(_yy[dy, dx], _xx[dy, dx])]
+)
+
+
+def _spatial_gauss_kernels(sigma):
+    k = _gauss_kernel(sigma)
+    k = None if k is None else tuple(float(x) for x in k)
+    return ((0, None), (1, k), (2, k))
+
+
+_ROW_MAX_OFFS = tuple((0, d, 0) for d in range(-10, 11))
+_COL_MAX_OFFS = tuple((0, 0, d) for d in range(-10, 11))
+
+
+def _nanmean0(x):
+    return jnp.nanmean(x, axis=0)
+
+
+def _any0(x):
+    return jnp.any(x, axis=0).astype(jnp.int32)
+
+
+def _diff_func(x):
+    fwd = x[2] - x[1]
+    bwd = x[1] - x[0]
+    total = jnp.where(jnp.isnan(fwd), 0.0, fwd) + jnp.where(jnp.isnan(bwd), 0.0, bwd)
+    count = jnp.isfinite(x[2]).astype(jnp.float32) + jnp.isfinite(x[0]).astype(
+        jnp.float32
+    )
+    return total / jnp.maximum(count, 1.0)
+
+
+def _linearise_j(field, lower, upper):
+    """jnp mirror of utils.normalisation.linearise_field."""
+    invert = lower > upper
+    if invert:
+        lower, upper = upper, lower
+    scaled = (field - lower) / (upper - lower)
+    clipped = jnp.clip(scaled, 0.0, 1.0)
+    return 1.0 - clipped if invert else clipped
+
+
+# ---------------------------------------------------------------------------
+# traced stage pieces
+# ---------------------------------------------------------------------------
+
+
+def _opening(mask, offs):
+    out = _binary_morph(mask, offs, 1, 0, "erode")
+    return _binary_morph(out, offs, 1, 0, "dilate")
+
+
+def _curvature_filter_j(field, direction, sigma=2.0, threshold=0.0):
+    """detection.py:88-107 traced: smoothed-curvature sign mask + fill/open."""
+    sm = _sepconv_reflect(field, _spatial_gauss_kernels(sigma))
+    x2 = jnp.zeros_like(field)
+    x2 = x2.at[:, :, 1:-1].set(sm[:, :, 2:] - 2 * sm[:, :, 1:-1] + sm[:, :, :-2])
+    y2 = jnp.zeros_like(field)
+    y2 = y2.at[:, 1:-1].set(sm[:, 2:] - 2 * sm[:, 1:-1] + sm[:, :-2])
+    if direction == "negative":
+        cond = (x2 < -threshold) & (y2 < -threshold)
+    else:
+        cond = (x2 > threshold) & (y2 > threshold)
+    max_iters = int(sum(field.shape)) + 8
+    return _opening(_fill_holes_device(cond, _S2D_OFFS, max_iters), _S2D_OFFS)
+
+
+def _peak_filter_j(field, direction, sigma=0.5, min_distance=10):
+    """detection.py:110-128 traced: batched over frames, separable max."""
+    sm = _sepconv_reflect(field, _spatial_gauss_kernels(sigma))
+    if direction == "positive":
+        sm = -sm
+    mx = _grey_morph(sm, _ROW_MAX_OFFS, "max")
+    mx = _grey_morph(mx, _COL_MAX_OFFS, "max")
+    peaks = (sm >= mx) & (sm > 0.0)
+    d = int(min_distance)
+    border = jnp.zeros_like(peaks)
+    border = border.at[:, d:-d, d:-d].set(peaks[:, d:-d, d:-d])
+    return _binary_morph(border, _DISK_OFFS, 1, 0, "dilate")
+
+
+def _channel_filter_j(field, direction, fwd, bwd, radii):
+    """curvature|peak, tracked ±1 frame along the flow (nearest taps)."""
+    curv = _curvature_filter_j(field, direction)
+    peak = _peak_filter_j(field, direction)
+    either = (curv | peak).astype(jnp.int32)
+    return _convolve_impl(either, fwd, bwd, _T_TAPS, "nearest", 0, _any0, 0, radii)
+
+
+def _growth_rate_j(field, fwd, bwd, dt, radii):
+    """detection.py:131-138 traced: semi-Lagrangian diff/min, flow-smoothed."""
+    diff = _convolve_impl(
+        field, fwd, bwd, _T_TAPS, "cubic", jnp.nan, _diff_func, jnp.nan, radii
+    )
+    growth = diff / dt
+    return _convolve_impl(
+        growth, fwd, bwd, _S2D_TAPS, "cubic", jnp.nan, _nanmean0, jnp.nan, radii
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_wvd", "band_radii", "warp_mode", "interior"),
+)
+def _core_markers_jit(
+    bt, wvd, swd, fwd, bwd, dt, wvd_threshold, bt_threshold, use_wvd, band_radii,
+    warp_mode, interior,
+):
+    del warp_mode  # jit-key only: FAST_WARP/BANDED_EXACT read at trace time
+    r = band_radii
+    i0, i1 = interior
+    bt_filter = _channel_filter_j(bt, "positive", fwd, bwd, r)
+    if use_wvd:
+        wvd_filter = _channel_filter_j(wvd, "negative", fwd, bwd, r)
+        combined = (bt_filter != 0) | (wvd_filter != 0)
+    else:
+        combined = bt_filter != 0
+    max_iters = int(sum(bt.shape)) + 8
+    combined = _opening(
+        _fill_holes_device(combined, _S2D_OFFS, max_iters), _S2D_OFFS
+    )
+    swd_filter = 1.0 - _linearise_j(swd, 2.5, 7.5)
+    combined_filter = combined.astype(jnp.float32) * swd_filter
+
+    bt_growth = _growth_rate_j(-bt, fwd, bwd, dt, r)
+    bt_markers = (bt_growth * combined_filter) > bt_threshold
+    if use_wvd:
+        wvd_growth = _growth_rate_j(wvd, fwd, bwd, dt, r)
+        wvd_markers = (wvd_growth * combined_filter) > wvd_threshold
+        merged = wvd_markers | bt_markers
+    else:
+        wvd_markers = jnp.zeros_like(bt_markers)
+        merged = bt_markers
+    combined_markers = _opening(merged, _S2D_OFFS)
+    return (
+        combined_markers[i0:i1],
+        jnp.sum(bt_markers[i0:i1]),
+        jnp.sum(wvd_markers[i0:i1]),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "lower", "upper", "erode_distance", "band_radii", "warp_mode"
+    ),
+)
+def _anvil_pre_jit(
+    field, markers, fwd, bwd, lower, upper, erode_distance, band_radii, warp_mode
+):
+    del warp_mode
+    f = _linearise_j(field, lower, upper)
+    eroded = markers * _binary_morph(markers != 0, _S2D_OFFS, 1, 0, "erode").astype(
+        jnp.int32
+    )
+    wh_nan = jnp.isnan(f)
+    mask = (f <= 0) | wh_nan
+    mask = _binary_morph(mask, _B3_OFFS, int(erode_distance), 1, "erode")
+    mask = mask | wh_nan
+    eroded = jnp.where(mask, -1, eroded)
+    edges = _convolve_impl(
+        f, fwd, bwd, _FULL_TAPS, "cubic", jnp.nan, _sobel_func_uphill, jnp.nan,
+        band_radii,
+    )
+    edges = edges + (edges > 0)
+    edges = edges - f
+    edges = jnp.where(wh_nan, jnp.inf, edges)
+    return edges, eroded
+
+
+@jax.jit
+def _anvil_post_jit(labels, markers):
+    labels = jnp.maximum(labels, 0)
+    labels = labels * _opening(labels != 0, _S2D_OFFS).astype(labels.dtype)
+    return jnp.where(markers > 0, markers, labels)
+
+
+@jax.jit
+def _marker_mask_jit(field, threshold):
+    return _opening(field >= threshold, _S2D_OFFS)
+
+
+# ---------------------------------------------------------------------------
+# host drivers: transfer caching + time-chunking with stencil halos
+# ---------------------------------------------------------------------------
+
+
+def _vals(a):
+    return np.asarray(getattr(a, "values", a))
+
+
+def _chunk_t(t, h, w, per_px_cost=32):
+    """Frames per dispatch keeping live temporaries ~BUDGET_PX pixels."""
+    return max(4, int(BUDGET_PX * 32 / max(per_px_cost, 1) / max(h * w, 1)))
+
+
+def _warp_mode_key():
+    import sys
+
+    m = sys.modules["tobac_flow_tpu.ops.convolve"]
+    return (m.FAST_WARP, m.BANDED_EXACT)
+
+
+def _maybe_cached(arr, s0, e0, t):
+    """Whole-window device transfer rides the identity cache; sub-windows
+    upload their slice."""
+    if s0 == 0 and e0 == t:
+        return device_put_cached(np.asarray(arr))
+    return jnp.asarray(np.asarray(arr)[s0:e0])
+
+
+def fused_core_markers(
+    flow, bt, wvd, swd, *, use_wvd, wvd_threshold, bt_threshold
+):
+    """One-dispatch combined-filter + growth-marker field of ``detect_cores``
+    (detection.py:211-235 dense part).  Returns (combined_markers bool array,
+    bt_area, wvd_area) — the areas matching the op-by-op path's prints
+    exactly (chunk halos cover the temporal stencil; sums accumulate over
+    chunk interiors only)."""
+    from tobac_flow_tpu.utils.datetime_utils import get_time_diff_from_coord
+
+    bt_v, wvd_v, swd_v = _vals(bt), _vals(wvd), _vals(swd)
+    dt = np.asarray(
+        get_time_diff_from_coord(bt.t), dtype=np.float32
+    )[:, np.newaxis, np.newaxis]
+    radii = _flow_band_radii(flow.forward_flow, flow.backward_flow)
+    t, h, w = bt_v.shape
+    chunk = _chunk_t(t, h, w)
+    halo = 1  # deepest temporal stencil: one ±1-frame tracked convolve
+    if t <= chunk + 2 * halo:
+        chunk = t
+
+    pieces = []
+    bt_area = 0
+    wvd_area = 0
+    for s in range(0, t, chunk):
+        e = min(t, s + chunk)
+        s0, e0 = max(0, s - halo), min(t, e + halo)
+        m, ab, aw = _core_markers_jit(
+            _maybe_cached(bt_v, s0, e0, t),
+            _maybe_cached(wvd_v, s0, e0, t),
+            _maybe_cached(swd_v, s0, e0, t),
+            _maybe_cached(flow.forward_flow, s0, e0, t),
+            _maybe_cached(flow.backward_flow, s0, e0, t),
+            jnp.asarray(dt[s0:e0]),
+            jnp.float32(wvd_threshold),
+            jnp.float32(bt_threshold),
+            use_wvd,
+            radii,
+            _warp_mode_key(),
+            (s - s0, e - s0),
+        )
+        pieces.append(np.asarray(m))
+        bt_area += int(ab)
+        wvd_area += int(aw)
+    markers = pieces[0] if len(pieces) == 1 else np.concatenate(pieces, axis=0)
+    return markers, bt_area, wvd_area
+
+
+def fused_anvil_marker_mask(field, threshold):
+    """detection.py:326-327 dense part (threshold + opening) on device."""
+    field_v = _vals(field)
+    return np.asarray(
+        _marker_mask_jit(device_put_cached(field_v), jnp.float32(threshold))
+    )
+
+
+def fused_anvil_pre_watershed(
+    flow, field, markers, lower_threshold, upper_threshold, erode_distance
+):
+    """detection.py:393-403 dense prep on device: linearised field's
+    watershed mask, eroded/-1 markers and the uphill-Sobel edge field.
+    Returns device-resident (edges, eroded_markers) so the watershed sees no
+    host round trip."""
+    field_v = _vals(field)
+    markers_v = np.ascontiguousarray(_vals(markers).astype(np.int32))
+    radii = _flow_band_radii(flow.forward_flow, flow.backward_flow)
+    t, h, w = field_v.shape
+    chunk = _chunk_t(t, h, w, per_px_cost=64)
+    halo = max(1, int(erode_distance))
+
+    def run(s0, e0):
+        return _anvil_pre_jit(
+            _maybe_cached(field_v, s0, e0, t),
+            _maybe_cached(markers_v, s0, e0, t),
+            _maybe_cached(flow.forward_flow, s0, e0, t),
+            _maybe_cached(flow.backward_flow, s0, e0, t),
+            float(lower_threshold),
+            float(upper_threshold),
+            int(erode_distance),
+            radii,
+            _warp_mode_key(),
+        )
+
+    if t <= chunk + 2 * halo:
+        return run(0, t)  # device-resident, feeds the watershed directly
+
+    edge_parts, marker_parts = [], []
+    for s in range(0, t, chunk):
+        e = min(t, s + chunk)
+        s0, e0 = max(0, s - halo), min(t, e + halo)
+        edges, eroded = run(s0, e0)
+        edge_parts.append(np.asarray(edges)[s - s0 : e - s0])
+        marker_parts.append(np.asarray(eroded)[s - s0 : e - s0])
+        del edges, eroded
+    return (
+        np.concatenate(edge_parts, axis=0),
+        np.concatenate(marker_parts, axis=0),
+    )
+
+
+def fused_anvil_post_watershed(anvil_labels, markers):
+    """detection.py:407-413 on device: clamp negatives, opening-mask, marker
+    override.  Accepts device or host arrays; returns host int32."""
+    labels_j = jnp.asarray(
+        getattr(anvil_labels, "values", anvil_labels)
+    ).astype(jnp.int32)
+    markers_j = jnp.asarray(_vals(markers)).astype(jnp.int32)
+    return np.asarray(_anvil_post_jit(labels_j, markers_j))

@@ -21,7 +21,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["banded_gather_axis", "banded_warp_axis", "warp_banded", "warp_banded_multi"]
+__all__ = [
+    "banded_gather_axis",
+    "banded_warp_axis",
+    "warp_banded",
+    "warp_banded_exact",
+    "warp_banded_multi",
+]
 
 
 def _axis_pad(img, axis, pad, fill, pad_mode="constant"):
@@ -126,6 +132,108 @@ def banded_warp_axis_cubic(
     probe = jax.lax.dynamic_slice(padded, [0] * img.ndim, list(img.shape))
     init = jnp.where(jnp.zeros((), bool), probe, init)
     return jax.lax.fori_loop(0, 2 * radius + 1, body, init)
+
+
+def _row_shift(padded, shape, axis, start):
+    starts = [0] * padded.ndim
+    starts[axis] = start
+    return jax.lax.dynamic_slice(padded, starts, list(shape))
+
+
+def warp_banded_exact(
+    img,
+    flow,
+    radius=20,
+    method="linear",
+    fill_value=jnp.nan,
+    pad_mode="constant",
+    radius_y=None,
+    radius_x=None,
+):
+    """Exact 2D bounded-displacement warp as banded shifts — no gather.
+
+    ``out[y, x] = interp(img)(y + dy(y, x), x + dx(y, x))`` with BOTH
+    displacement components evaluated at the destination pixel, matching
+    ``ops.warp.warp_plane`` (cv2.remap semantics) exactly for displacements
+    within the band.  The two-pass separable form (``warp_banded``) instead
+    evaluates dy at the x-shifted column — fine for smooth flow, wrong in
+    rough flow (reference semantics: ``tobac_flow/convolve.py:8-86``).
+
+    Factorisation: the y interpolation touches only the rows
+    ``⌊dy⌋ + taps``, so
+
+        out = Σ_s  w_y(s; dy) ⊙ Xwarp(rowshift(img, s), dx)
+
+    where the inner x-warp's per-pixel weights come from dx at the
+    *destination* row and are therefore shared by every y shift ``s`` — each
+    output pixel receives exactly its 2 (linear) / 4 (cubic) y taps.  Cost is
+    ``(2·ry + taps) · (2·rx + taps)`` masked static shifts; pass adaptive
+    ``radius_y`` / ``radius_x`` (≥ max |displacement| + 1) to keep the band —
+    and the cost — tight.
+    """
+    ry = int(radius if radius_y is None else radius_y)
+    rx = int(radius if radius_x is None else radius_x)
+    dy = flow[..., 1]
+    dx = flow[..., 0]
+
+    if method == "nearest":
+        iry = jnp.clip(jnp.round(dy), -ry, ry).astype(jnp.int32)
+        irx = jnp.round(dx).astype(jnp.int32)
+        padded = _axis_pad(img, -2, ry, fill_value, pad_mode)
+
+        def body(m, acc):
+            strip = _row_shift(padded, img.shape, -2, m)  # rows shifted by m-ry
+            x_line = banded_gather_axis(strip, irx, -1, rx, fill_value, pad_mode)
+            return jnp.where(iry == (m - ry), x_line, acc)
+
+        init = jnp.full(img.shape, fill_value, dtype=img.dtype)
+        probe = _row_shift(padded, img.shape, -2, 0)
+        init = jnp.where(jnp.zeros((), bool), probe, init)
+        return jax.lax.fori_loop(0, 2 * ry + 1, body, init)
+
+    if method == "linear":
+        tap0 = 0  # y taps at offsets 0, 1 from floor
+        n_taps = 2
+        weight_fn = lambda f: [1.0 - f, f]
+        x_warp = lambda strip: banded_warp_axis(strip, dx, -1, rx, fill_value, pad_mode)
+    elif method == "cubic":
+        from tobac_flow_tpu.ops.warp import _cubic_weights
+
+        tap0 = -1  # y taps at offsets -1..2 from floor
+        n_taps = 4
+        weight_fn = _cubic_weights
+        x_warp = lambda strip: banded_warp_axis_cubic(
+            strip, dx, -1, rx, fill_value, pad_mode
+        )
+    else:
+        raise ValueError("method must be 'nearest', 'linear' or 'cubic'")
+
+    dy = jnp.clip(dy, -float(ry), float(ry))
+    lo = jnp.floor(dy)
+    frac = (dy - lo).astype(jnp.float32)
+    ilo = lo.astype(jnp.int32)
+    wys = weight_fn(frac)
+    pad_y = ry + max(tap0 + n_taps - 1, 1)  # deepest forward tap
+    padded = _axis_pad(img, -2, pad_y, fill_value, pad_mode)
+    # shifts s range over [-ry + tap0, ry + tap0 + n_taps - 1]
+    s_lo = -ry + tap0
+    n_shift = 2 * ry + n_taps
+
+    def body(m, acc):
+        s = m + s_lo  # row shift of this strip
+        strip = _row_shift(padded, img.shape, -2, m + (s_lo + pad_y))
+        x_line = x_warp(strip)
+        c = jnp.zeros(ilo.shape, jnp.float32)
+        for j in range(n_taps):
+            # tap j reads source row ilo + tap0 + j == s
+            c = c + jnp.where(ilo == (s - tap0 - j), wys[j], 0.0)
+        return acc + jnp.where(c == 0.0, 0.0, c * x_line)
+
+    fdtype = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+    init = jnp.zeros(img.shape, dtype=fdtype)
+    probe = _row_shift(padded, img.shape, -2, 0).astype(fdtype)
+    init = init + jnp.where(jnp.zeros((), bool), probe, init)
+    return jax.lax.fori_loop(0, n_shift, body, init)
 
 
 def warp_banded(img, flow, radius=20, method="linear", fill_value=jnp.nan, pad_mode="constant"):

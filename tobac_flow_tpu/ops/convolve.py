@@ -34,13 +34,20 @@ __all__ = [
     "DEFAULT_STRUCTURE",
     "FAST_WARP",
     "set_fast_warp",
+    "set_banded_exact",
 ]
 
 # When True (default), nearest/linear/cubic flow-warps use the banded-shift
-# gather (ops/banded.py) — the TPU-fast path, exact for constant flow and
-# within the flow cross-gradient bound otherwise.  Set False to force the
-# exact per-pixel gather everywhere (CPU parity studies).
+# gather (ops/banded.py) — the TPU-fast path.  Set False to force the
+# per-pixel XLA gather everywhere (CPU parity studies; pathological on TPU).
 FAST_WARP = True
+
+# When True (default), the banded path uses the EXACT 2D bounded-displacement
+# factorisation (ops/banded.warp_banded_exact): both displacement components
+# evaluated at the destination pixel, matching cv2.remap semantics.  False
+# selects the cheaper separable two-pass approximation (dy evaluated at the
+# x-shifted column — fine for smooth flow, wrong in rough flow).
+BANDED_EXACT = True
 
 # tap-pixels (n_taps x T x H x W) above which `convolve` processes the time
 # axis in halo-overlapped chunks — the whole-volume vmap keeps one (T, H, W)
@@ -69,15 +76,78 @@ def set_fast_warp(enabled: bool) -> bool:
     return prev
 
 
-def _warp_plane_banded(img, flow, offsets, method, fill_value):
-    from tobac_flow_tpu.ops.banded import warp_banded
+def set_banded_exact(enabled: bool) -> bool:
+    """Select exact-2D (True, default) vs separable (False) banded warps.
+
+    A function for the same module-shadowing reason as ``set_fast_warp``.
+    Returns the previous value.
+    """
+    global BANDED_EXACT
+    prev = BANDED_EXACT
+    BANDED_EXACT = bool(enabled)
+    return prev
+
+
+# Adaptive band radii: the banded warp's cost is linear in each radius, and
+# real flow fields rarely approach the reference's ±20 px clip
+# (``flow.py:60-61``) — measure max |displacement| once per flow array (memoised
+# by identity, like the device transfer cache) and shrink the band to fit.
+_RADII_MEMO: dict = {}
+_RADII_MAX_ENTRIES = 8
+
+
+def _flow_band_radii(*flows):
+    """(radius_y, radius_x) covering max |displacement| + 1 structure-tap px,
+    clipped to the reference's ±20 px flow bound (+1)."""
+    import weakref
+
+    mx = my = 0.0
+    for arr in flows:
+        key = id(arr)
+        ent = _RADII_MEMO.get(key)
+        if ent is not None and ent[0]() is arr:
+            m = ent[1]
+        else:
+            dev = device_put_cached(arr)
+            m = np.asarray(
+                jnp.max(
+                    jnp.where(jnp.isfinite(dev), jnp.abs(dev), 0.0),
+                    axis=tuple(range(dev.ndim - 1)),
+                )
+            )
+            try:
+                ref = weakref.ref(arr, lambda _r, k=key: _RADII_MEMO.pop(k, None))
+                _RADII_MEMO[key] = (ref, m)
+                while len(_RADII_MEMO) > _RADII_MAX_ENTRIES:
+                    _RADII_MEMO.pop(next(iter(_RADII_MEMO)))
+            except TypeError:
+                pass
+        mx = max(mx, float(m[0]))
+        my = max(my, float(m[1]))
+    to_radius = lambda v: int(min(21, max(2, int(np.ceil(v + 1e-3)) + 1)))
+    return to_radius(my), to_radius(mx)
+
+
+def _warp_plane_banded(img, flow, offsets, method, fill_value, ry=21, rx=21):
+    from tobac_flow_tpu.ops.banded import warp_banded, warp_banded_exact
 
     outs = []
     for ox, oy in offsets:
         off = jnp.asarray([float(ox), float(oy)], dtype=jnp.float32)
-        outs.append(
-            warp_banded(img, flow + off, radius=21, method=method, fill_value=fill_value)
-        )
+        if BANDED_EXACT:
+            outs.append(
+                warp_banded_exact(
+                    img, flow + off, method=method, fill_value=fill_value,
+                    radius_y=ry, radius_x=rx,
+                )
+            )
+        else:
+            outs.append(
+                warp_banded(
+                    img, flow + off, radius=max(ry, rx), method=method,
+                    fill_value=fill_value,
+                )
+            )
     return jnp.stack(outs, axis=0)
 
 
@@ -110,7 +180,8 @@ def structure_taps(structure):
 
 
 def _convolve_impl(
-    data, forward_flow, backward_flow, taps, method, fill_value, func, out_fill
+    data, forward_flow, backward_flow, taps, method, fill_value, func, out_fill,
+    band_radii=(21, 21),
 ):
     back_taps, same_taps, fwd_taps = taps
     t, h, w = data.shape
@@ -119,7 +190,9 @@ def _convolve_impl(
     nxt = jnp.concatenate([data[1:], fill_frame], axis=0)
 
     if FAST_WARP and method in ("nearest", "linear", "cubic"):
-        plane_warp = _warp_plane_banded
+        plane_warp = functools.partial(
+            _warp_plane_banded, ry=band_radii[0], rx=band_radii[1]
+        )
     else:
         plane_warp = lambda im, fl, tp, method, fill_value: warp_plane(
             im, fl, tp, method=method, fill_value=fill_value
@@ -166,14 +239,16 @@ def _convolve_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("taps", "method", "func", "out_dtype", "fast_warp")
+    jax.jit,
+    static_argnames=("taps", "method", "func", "out_dtype", "fast_warp", "band_radii"),
 )
 def _convolve_jit(
     data, forward_flow, backward_flow, taps, method, fill_value, func, out_dtype,
-    fast_warp,
+    fast_warp, band_radii,
 ):
     out = _convolve_impl(
-        data, forward_flow, backward_flow, taps, method, fill_value, func, fill_value
+        data, forward_flow, backward_flow, taps, method, fill_value, func, fill_value,
+        band_radii,
     )
     return out.astype(out_dtype)
 
@@ -207,6 +282,12 @@ def convolve(
     -------
     (n_struct, T, H, W) if func is None, else func's result (typically
     (T, H, W)) with NaN input locations forced to fill_value.
+
+    Residency: below BUDGET_TAP_PX the result is a device array; above it
+    the call runs in host time-chunks and returns a host ndarray — the
+    deliberate HBM bound (stitching on device would hold the full-size
+    result next to the chunk working set).  Callers that need device
+    residency at that scale should consume per-chunk results themselves.
     """
     if structure is None:
         structure = DEFAULT_STRUCTURE
@@ -251,6 +332,10 @@ def convolve(
     else:
         work = data.astype(jnp.float32)
 
+    band_radii = (21, 21)
+    if FAST_WARP and method in ("nearest", "linear", "cubic"):
+        band_radii = _flow_band_radii(forward_flow, backward_flow)
+
     return _convolve_jit(
         work,
         device_put_cached(forward_flow),
@@ -260,5 +345,7 @@ def convolve(
         fill_value,
         func,
         out_dtype,
-        FAST_WARP,  # part of the jit key so toggling retriggers compilation
+        # part of the jit key so toggling retriggers compilation
+        (FAST_WARP, BANDED_EXACT),
+        band_radii,
     )

@@ -21,11 +21,11 @@ tie-breaking on plateaus.  Each sweep uses
 Sweeps run in fixed-size device chunks with host-side convergence checks
 (one long while_loop trips the remote worker's watchdog at GOES scale).
 
-One deliberate difference from the serial kernel: temporal neighbours are
-*pulled* along the flow at the destination rather than *pushed* along the
-source flow — the same adjoint approximation the reference's own label
-linking makes (``label.py:133-137``).  Equivalence is tested against the
-native C++ heap oracle (``tobac_flow_tpu/native``).
+Temporal adjacency matches the serial kernel exactly: claims are *scattered*
+along the source pixel's flow vector (``_banded_scatter_min`` — each source
+pushes its cost to the displaced destination, the reference's neighbourhood
+``_watershed.pyx``), not pulled at the destination.  Equivalence is tested
+against the native C++ heap oracle (``tobac_flow_tpu/native``).
 """
 
 from __future__ import annotations
@@ -43,38 +43,42 @@ __all__ = ["watershed"]
 
 _INF = np.float32(np.inf)
 
-# tri-state cache: None = unprobed, True/False = pallas spatial kernel usable
-_PALLAS_SPATIAL = None
+# per-width probe cache: padded-width bucket -> True/False (the kernel's
+# VMEM working set scales with frame width, so usability is width-dependent)
+_PALLAS_SPATIAL: dict = {}
 
 
-def _pallas_spatial_usable():
-    """Probe once whether the time-tiled Pallas sweep kernel compiles on the
-    current backend (the remote Mosaic compiler rejects some programs; CPU
-    runs use the XLA formulation which the kernel is bit-equivalent to)."""
-    global _PALLAS_SPATIAL
-    if _PALLAS_SPATIAL is not None:
-        return _PALLAS_SPATIAL
+def _pallas_spatial_usable(h=256, w=256):
+    """Probe whether the time-tiled Pallas sweep kernel compiles on the
+    current backend AT THIS FRAME WIDTH (the remote Mosaic compiler rejects
+    some programs and the VMEM scratch scales with width; CPU runs use the
+    XLA formulation which the kernel is bit-equivalent to).  One probe
+    compile per distinct padded width per process."""
+    key = -(-int(w) // 128) * 128
+    if key in _PALLAS_SPATIAL:
+        return _PALLAS_SPATIAL[key]
     try:
         platform = jax.devices()[0].platform.lower()
     except Exception:
         platform = "cpu"
     if platform in ("cpu", "gpu"):
-        _PALLAS_SPATIAL = False
+        _PALLAS_SPATIAL[key] = False
         return False
     try:
         from tobac_flow_tpu.ops.ws_pallas import spatial_sweeps_pallas
 
-        z = jnp.zeros((1, 256, 256), jnp.float32)
-        m = jnp.full((1, 256, 256), np.iinfo(np.int32).max, jnp.int32)
-        b = jnp.zeros((1, 256, 256), bool)
+        hp = int(min(max(h, 8), 256))
+        z = jnp.zeros((1, hp, int(w)), jnp.float32)
+        m = jnp.full((1, hp, int(w)), np.iinfo(np.int32).max, jnp.int32)
+        b = jnp.zeros((1, hp, int(w)), bool)
         out = spatial_sweeps_pallas(
             z, z, m, z, b, b, ((0, 1), (0, -1), (1, 0), (-1, 0)), k_sweeps=8
         )
         jax.block_until_ready(out)
-        _PALLAS_SPATIAL = True
+        _PALLAS_SPATIAL[key] = True
     except Exception:
-        _PALLAS_SPATIAL = False
-    return _PALLAS_SPATIAL
+        _PALLAS_SPATIAL[key] = False
+    return _PALLAS_SPATIAL[key]
 
 
 def connectivity_structure(connectivity):
@@ -485,7 +489,7 @@ def watershed(
     t, h, w = field_j.shape
     # the Pallas time-tiled sweep kernel pays off once a frame outgrows its
     # block size; below that the XLA sweeps win on dispatch overhead
-    use_pallas = h * w >= 256 * 256 and _pallas_spatial_usable()
+    use_pallas = h * w >= 256 * 256 and _pallas_spatial_usable(h, w)
     factor = 4
     if multigrid and h >= 8 * factor and w >= 8 * factor:
         # V-cycle: flood a max-pooled field first (coarse barriers >= true

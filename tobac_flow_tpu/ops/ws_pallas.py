@@ -159,12 +159,22 @@ def _make_kernel(k_sweeps, hb, halo, w, in_plane):
     return build
 
 
+def pick_block_rows(w, k_sweeps=8, budget_bytes=8_000_000, n_buffers=12):
+    """Row-block height keeping the kernel's VMEM working set (6 input
+    buffers + scratch, each (block + 2·k halo) × padded width) under budget —
+    the scoped-VMEM limit is ~16 MB, and a fixed 112-row block overflows it
+    beyond ~3500-px-wide frames (GOES full disk is 5424)."""
+    w_pad = -(-int(w) // 128) * 128
+    hb = budget_bytes // (n_buffers * 4 * w_pad) - 2 * k_sweeps
+    return int(max(8, min(112, (hb // 8) * 8)))
+
+
 @functools.partial(
     jax.jit, static_argnames=("in_plane", "k_sweeps", "block_rows", "interpret")
 )
 def spatial_sweeps_pallas(
     claim, claim2, meta, field, seeded, floodable,
-    in_plane, k_sweeps=8, block_rows=112, interpret=False,
+    in_plane, k_sweeps=8, block_rows=None, interpret=False,
 ):
     """Apply ``k_sweeps`` spatial Jacobi sweeps to the packed watershed
     state via the time-tiled VMEM kernel.  Exact equivalent of calling the
@@ -177,7 +187,7 @@ def spatial_sweeps_pallas(
 
     t, h, w = claim.shape
     halo = k_sweeps  # the K-sweep dependence cone
-    hb = int(block_rows)
+    hb = int(block_rows) if block_rows is not None else pick_block_rows(w, k_sweeps)
     n_blocks = -(-h // hb)
     h_pad = n_blocks * hb
     w_pad = -(-w // 128) * 128  # lane alignment; extra columns stay inert

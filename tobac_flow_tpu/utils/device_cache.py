@@ -34,9 +34,13 @@ _CACHE: OrderedDict = OrderedDict()
 
 
 def _fingerprint(arr):
-    flat = arr.reshape(-1)
-    k = min(8, flat.size)
-    return (arr.shape, arr.dtype.str, flat[:k].tobytes(), flat[-k:].tobytes())
+    # strided 64-element sample across the whole array (not just the
+    # first/last lanes): interior in-place mutations of a re-passed array
+    # must invalidate the cached device copy too.  ``flat`` fancy-indexing
+    # avoids materialising non-contiguous views.
+    n = arr.size
+    idx = np.linspace(0, n - 1, num=min(64, n), dtype=np.int64)
+    return (arr.shape, arr.dtype.str, arr.flat[idx].tobytes())
 
 
 def clear_device_cache():

@@ -90,6 +90,12 @@ def main(argv=None):
     parser.add_argument("-sd", default="/tmp/bench_e2e", help="output dir")
     parser.add_argument("--no-write", action="store_true",
                         help="skip BENCH_E2E.json (exploratory runs)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="run the reference-semantics CPU op stack "
+                        "(cv2 Farneback+VR flow, cv2.remap convolves, scipy "
+                        "CCL, serial heap watershed) — the end-to-end "
+                        "baseline denominator; writes BENCH_E2E_CPU.json. "
+                        "Run under PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu.")
     args = parser.parse_args(argv)
 
     from tobac_flow_tpu.cli.common import (
@@ -132,6 +138,18 @@ def main(argv=None):
     opts = DetectionOptions(
         checkpoint_path=save_path.with_suffix(".checkpoint.nc"),
     )
+    if args.cpu:
+        sys.path.insert(0, str(REPO / "tools"))
+        from cpu_reference import CpuFlow
+
+        import bench as bench_mod
+
+        def _cpu_flow_factory(bt_da):
+            vals = np.asarray(getattr(bt_da, "values", bt_da), dtype=np.float32)
+            fwd, bwd = bench_mod.cpu_reference_flow_cli(vals)
+            return CpuFlow(fwd, bwd)
+
+        opts.flow_factory = _cpu_flow_factory
     start = time.perf_counter()
     ds = run_detection(bt, wvd, swd, ds, opts=opts, timer=timer)
     with timer.stage("save"):
@@ -141,7 +159,8 @@ def main(argv=None):
     rate = t * h * w / total / 1e6
     peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     result = {
-        "metric": "full detect path (flow->cores->anvils->stats->netCDF)",
+        "metric": "full detect path (flow->cores->anvils->stats->netCDF)"
+        + (" [CPU reference-semantics stack]" if args.cpu else ""),
         "frames": t,
         "height": h,
         "width": w,
@@ -154,9 +173,18 @@ def main(argv=None):
         "peak_rss_gb": round(peak_rss_gb, 2),
         "output_nc_mb": round(save_path.stat().st_size / 1e6, 1),
     }
+    if not args.cpu:
+        cpu_file = REPO / "BENCH_E2E_CPU.json"
+        if cpu_file.exists():
+            cpu = json.loads(cpu_file.read_text())
+            result["cpu_baseline_mpix_per_s"] = cpu["mpix_per_s"]
+            result["cpu_baseline_shape"] = [cpu["frames"], cpu["height"],
+                                            cpu["width"]]
+            result["vs_baseline"] = round(rate / cpu["mpix_per_s"], 2)
     print(json.dumps(result, indent=2))
     if not args.no_write:
-        (REPO / "BENCH_E2E.json").write_text(json.dumps(result, indent=2))
+        out = REPO / ("BENCH_E2E_CPU.json" if args.cpu else "BENCH_E2E.json")
+        out.write_text(json.dumps(result, indent=2))
     return result
 
 

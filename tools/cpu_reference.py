@@ -163,6 +163,10 @@ def cpu_flat_label(mask, structure=DEFAULT_STRUCTURE):
 class CpuFlow(Flow):
     """Flow with reference-built primitives (cv2 + scipy + serial heap)."""
 
+    # the science layer must call THESE op methods, never the fused device
+    # programs keyed off the base class (detect/fused.supports_fused)
+    fused_detect = False
+
     def convolve(
         self,
         data,
