@@ -119,6 +119,31 @@ def test_warp_banded_exact_batched_and_edge_mode():
         assert np.allclose(oracle[ok], out[t][ok], atol=1e-4)
 
 
+@pytest.mark.parametrize("method", ["linear", "cubic", "nearest"])
+def test_warp_banded_exact_multi_matches_per_offset(method):
+    from tobac_flow_tpu.ops.banded import warp_banded_exact_multi
+
+    rng = np.random.default_rng(21)
+    img = rng.normal(0, 10, (29, 37)).astype(np.float32)
+    flow = rng.uniform(-2.8, 2.8, (29, 37, 2)).astype(np.float32)
+    offsets = [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1)]
+    multi = np.asarray(
+        warp_banded_exact_multi(
+            img, flow, offsets, radius_y=4, radius_x=4, method=method
+        )
+    )
+    for i, (ox, oy) in enumerate(offsets):
+        off = np.asarray([ox, oy], np.float32)
+        single = np.asarray(
+            warp_banded_exact(
+                img, flow + off, method=method, radius_y=5, radius_x=5
+            )
+        )
+        assert np.array_equal(np.isnan(single), np.isnan(multi[i])), (ox, oy)
+        ok = np.isfinite(single)
+        assert np.allclose(single[ok], multi[i][ok], atol=1e-4), (ox, oy)
+
+
 def test_warp_banded_nearest_int_labels():
     labels = np.arange(30, dtype=np.int32).reshape(5, 6)
     flow = np.zeros((5, 6, 2), np.float32)

@@ -81,11 +81,13 @@ def test_sharded_detect_step_runs(mesh):
     ).astype(np.float32)
     wvd = (250 - bt) * 0.2 - 5
     swd = 5 - (290 - bt) * 0.07
-    out = sharded_detect_step(mesh, bt, wvd, swd, hx=4, ws_sweeps=2)
-    fwd, bwd, growth, markers, edges, labels = [np.asarray(o) for o in out]
+    out = sharded_detect_step(
+        mesh, bt, wvd, swd, hx=4, ws_sweeps=2, warp_radius=6
+    )
+    fwd, bwd, markers, core_labels, edges, labels = [np.asarray(o) for o in out]
     assert fwd.shape == (t, h, w, 2)
     assert np.isfinite(fwd).all()
-    assert growth.shape == (t, h, w)
+    assert core_labels.shape == (t, h, w)
     assert labels.shape == (t, h, w)
     # the moving storm produces flow ≈ +2 px/frame in x inside the cloud
     m = bt < 260
@@ -110,7 +112,7 @@ def test_sharded_detect_step_production_flow_config(mesh):
     swd = 5 - (290 - bt) * 0.07
     out = sharded_detect_step(
         mesh, bt, wvd, swd, hx=4, ws_sweeps=2, vr_steps=1,
-        smoothing_passes=1, interp_method="cubic",
+        smoothing_passes=1, interp_method="cubic", warp_radius=6,
     )
     fwd = np.asarray(out[0])
     assert np.isfinite(fwd).all()
@@ -118,6 +120,64 @@ def test_sharded_detect_step_production_flow_config(mesh):
     if m[1:-1].sum() > 50:
         med = np.median(fwd[1:-1][m[1:-1]][:, 0])
         assert 1.0 < med < 3.0
+
+
+def test_sharded_full_chain_matches_single_chip():
+    """The REAL detection science in the sharded step, vs the single-chip
+    fused programs, under injected (identical) flows: marker masks must be
+    bit-equal, core labels the same partition, anvil edges/seeds equal."""
+    from tests.synthetic import growing_storm_scene
+
+    from tobac_flow_tpu.core.flow import Flow, create_flow
+    from tobac_flow_tpu.detect import fused as fused_mod
+    from tobac_flow_tpu.segment.label import flow_label
+
+    t, h, w = 8, 48, 64
+    bt, wvd, swd = growing_storm_scene(t=t, h=h, w=w, seed=2)
+    bt_v = np.asarray(bt.values)
+    cf = create_flow(bt_v, vr_steps=1, smoothing_passes=1,
+                     interp_method="cubic")
+    fwd = np.clip(np.asarray(cf.forward_flow), -6, 6)
+    bwd = np.clip(np.asarray(cf.backward_flow), -6, 6)
+
+    mesh = make_mesh(n_t=2, n_x=2)
+    out = sharded_detect_step(
+        mesh, np.asarray(bt.values), np.asarray(wvd.values),
+        np.asarray(swd.values), flows=(fwd, bwd),
+        hx=17, warp_radius=6, ws_sweeps=2,
+    )
+    _, _, markers_sh, core_labels_sh, edges_sh, _ = [
+        np.asarray(o) for o in out
+    ]
+
+    flow = Flow(fwd, bwd)
+    markers_sc, _, _ = fused_mod.fused_core_markers(
+        flow, bt, wvd, swd, use_wvd=True, wvd_threshold=0.25,
+        bt_threshold=0.5,
+    )
+    assert np.array_equal(markers_sh, markers_sc.astype(bool))
+    assert markers_sc.sum() > 50  # the scene detects something real
+
+    # core labels: same partition of the marker mask (ids differ by design)
+    labels_sc = np.asarray(flow_label(flow, markers_sc))
+    assert ((core_labels_sh != 0) == markers_sc).all()
+    m = markers_sc
+    pairs = set(zip(core_labels_sh[m].tolist(), labels_sc[m].tolist()))
+    assert len(pairs) == len({a for a, _ in pairs}) == len({b for _, b in pairs})
+
+    # anvil chain prep: marker mask and edge field match the fused program
+    field = wvd - swd
+    mask_sc = fused_mod.fused_anvil_marker_mask(field, -5.0)
+    edges_sc, seeds_sc = fused_mod.fused_anvil_pre_watershed(
+        flow, field, mask_sc.astype(np.int32), -12.5, -5.0, 2
+    )
+    edges_sc = np.asarray(edges_sc)
+    seeds_sc = np.asarray(seeds_sc)
+    assert np.array_equal(np.isposinf(edges_sh), np.isposinf(edges_sc))
+    ok = np.isfinite(edges_sh)
+    assert np.allclose(edges_sh[ok], edges_sc[ok], atol=1e-4)
+    # seed support (ids are globally-unique pixel ids in the sharded form)
+    assert np.array_equal(edges_sh < np.inf, edges_sc < np.inf)
 
 
 def test_sharded_flow_label_zero_flow_matches_scipy():

@@ -68,12 +68,20 @@ def flow_watershed_host(
     markers,
     mask=None,
     connectivity=1,
+    seed_order=None,
 ):
     """Serial heap watershed with flow-displaced temporal neighbours.
 
     Same call contract as :func:`tobac_flow_tpu.ops.watershed.watershed`;
     exact (value, age)-heap, label-at-push semantics with the temporal
     neighbour pushed along the *source* pixel's rounded flow.
+
+    ``seed_order``: optional permutation of the seed pixels (array of indices
+    into the scan-ordered seed list, or a ``numpy.random.Generator`` to draw
+    one).  Seeds are pushed with strictly increasing ages in this order, so
+    permuting it perturbs exactly the heap's tie-breaking — the oracle's
+    own tie-class sensitivity (``tools/tie_sensitivity.py``).  Default:
+    scan order, the reference kernel's behaviour.
     """
     from tobac_flow_tpu.ops.watershed import connectivity_structure
 
@@ -131,6 +139,12 @@ def flow_watershed_host(
 
     out_flat = np.ascontiguousarray(outp.ravel(), dtype=np.int32)
     marker_locs = np.ascontiguousarray(np.flatnonzero(out_flat), dtype=np.int64)
+    if seed_order is not None:
+        if isinstance(seed_order, np.random.Generator):
+            seed_order = seed_order.permutation(len(marker_locs))
+        marker_locs = np.ascontiguousarray(
+            marker_locs[np.asarray(seed_order, dtype=np.int64)]
+        )
     field_flat = np.ascontiguousarray(fieldp.ravel())
     mask_flat = np.ascontiguousarray(maskp.ravel())
 

@@ -52,11 +52,15 @@ void flow_watershed(const float* image,
                     int64_t n_markers,
                     int64_t n_pixels) {
   std::priority_queue<Item, std::vector<Item>, Greater> heap;
+  // seeds carry strictly increasing ages in marker_locations order — the
+  // reference Cython kernel's age-ordered pushes (_watershed.pyx:308-337);
+  // permuting marker_locations therefore permutes the heap's tie-breaking,
+  // which is how the tie-class sensitivity study perturbs the oracle.
   for (int64_t i = 0; i < n_markers; ++i) {
     int64_t idx = marker_locations[i];
-    heap.push(Item{image[idx], 0, idx});
+    heap.push(Item{image[idx], i, idx});
   }
-  int64_t age = 1;
+  int64_t age = n_markers;
   while (!heap.empty()) {
     Item elem = heap.top();
     heap.pop();

@@ -26,6 +26,7 @@ __all__ = [
     "banded_warp_axis",
     "warp_banded",
     "warp_banded_exact",
+    "warp_banded_exact_multi",
     "warp_banded_multi",
 ]
 
@@ -234,6 +235,172 @@ def warp_banded_exact(
     probe = _row_shift(padded, img.shape, -2, 0).astype(fdtype)
     init = init + jnp.where(jnp.zeros((), bool), probe, init)
     return jax.lax.fori_loop(0, n_shift, body, init)
+
+
+def warp_banded_exact_multi(
+    img,
+    flow,
+    offsets,
+    radius_y,
+    radius_x,
+    method="linear",
+    fill_value=jnp.nan,
+    pad_mode="constant",
+):
+    """Exact 2D banded warp of one frame at several integer tap offsets,
+    sharing ALL band slice traffic across the offsets.
+
+    Semantically identical to stacking ``warp_banded_exact(img, flow + off)``
+    per offset (given ``radius_y >= max|dy|`` and likewise for x, so the band
+    clips nothing): an integer structuring offset only shifts which band
+    strip a pixel reads — floor(d + o) = floor(d) + o with the SAME
+    fractional weights — so the O(band_y x band_x) strip loads are done once
+    and each offset pays only masked FMAs.  This is the banded analogue of
+    the gather path's shared union grid (``ops/warp.py:163-170``; reference
+    behaviour ``tobac_flow/convolve.py:34-60``).
+
+    Returns (n_offsets, ...) stacked along a new leading axis.
+    """
+    ry = int(radius_y)
+    rx = int(radius_x)
+    offsets = [(int(ox), int(oy)) for ox, oy in offsets]
+    distinct_ox = sorted({ox for ox, _ in offsets})
+    max_ox = max((abs(o) for o in distinct_ox), default=0)
+    max_oy = max((abs(oy) for _, oy in offsets), default=0)
+    dy = flow[..., 1]
+    dx = flow[..., 0]
+
+    if method == "nearest":
+        tap0_y = tap0_x = 0
+        nty = ntx = 1
+        wfn = None
+    elif method == "linear":
+        tap0_y = tap0_x = 0
+        nty = ntx = 2
+        wfn = lambda f: [1.0 - f, f]
+    elif method == "cubic":
+        from tobac_flow_tpu.ops.warp import _cubic_weights
+
+        tap0_y = tap0_x = -1
+        nty = ntx = 4
+        wfn = _cubic_weights
+    else:
+        raise ValueError("method must be 'nearest', 'linear' or 'cubic'")
+
+    # safety clip: callers size the band off max |flow|, so this never fires
+    # in production; it keeps out-of-band displacements pinned to the band
+    # edge (like warp_banded_exact) instead of silently dropping to zero
+    dy = jnp.clip(dy, -float(ry), float(ry))
+    dx = jnp.clip(dx, -float(rx), float(rx))
+
+    ry_eff = ry + max_oy
+    rx_eff = rx + max_ox
+    pad_y = ry_eff + nty
+    pad_x = rx_eff + ntx
+    n_m = 2 * ry_eff + nty
+    n_k = 2 * rx_eff + ntx
+    my_lo = -ry_eff + tap0_y
+    kx_lo = -rx_eff + tap0_x
+    padded = _axis_pad(_axis_pad(img, -2, pad_y, fill_value, pad_mode),
+                       -1, pad_x, fill_value, pad_mode)
+    strip_shape = list(img.shape)
+    strip_shape[-1] = img.shape[-1] + 2 * pad_x
+
+    def _strip(m):
+        starts = [0] * padded.ndim
+        starts[-2] = m + (my_lo + pad_y)
+        return jax.lax.dynamic_slice(padded, starts, strip_shape)
+
+    def _tap(strip, k):
+        starts = [0] * strip.ndim
+        starts[-1] = k + (kx_lo + pad_x)
+        return jax.lax.dynamic_slice(strip, starts, list(img.shape))
+
+    if method == "nearest":
+        ir_y = jnp.round(dy).astype(jnp.int32)
+        ir_x = jnp.round(dx).astype(jnp.int32)
+
+        def xpass(strip):
+            def bx(k, accs):
+                s = k + kx_lo
+                tap = _tap(strip, k)
+                return tuple(
+                    jnp.where(ir_x == (s - ox), tap, acc)
+                    for ox, acc in zip(distinct_ox, accs)
+                )
+
+            init = tuple(
+                jnp.full(img.shape, fill_value, img.dtype)
+                for _ in distinct_ox
+            )
+            probe = _tap(strip, 0)
+            init = tuple(
+                jnp.where(jnp.zeros((), bool), probe, a) for a in init
+            )
+            return jax.lax.fori_loop(0, n_k, bx, init)
+
+        def by(m, accs):
+            s = m + my_lo
+            xs = xpass(_strip(m))
+            x_by_ox = dict(zip(distinct_ox, xs))
+            return tuple(
+                jnp.where(ir_y == (s - oy), x_by_ox[ox], acc)
+                for (ox, oy), acc in zip(offsets, accs)
+            )
+
+        init = tuple(jnp.full(img.shape, fill_value, img.dtype) for _ in offsets)
+        probe = _tap(_strip(0), 0)
+        init = tuple(jnp.where(jnp.zeros((), bool), probe, a) for a in init)
+        return jnp.stack(jax.lax.fori_loop(0, n_m, by, init), axis=0)
+
+    lo_y = jnp.floor(dy)
+    frac_y = (dy - lo_y).astype(jnp.float32)
+    ilo_y = lo_y.astype(jnp.int32)
+    wys = wfn(frac_y)
+    lo_x = jnp.floor(dx)
+    frac_x = (dx - lo_x).astype(jnp.float32)
+    ilo_x = lo_x.astype(jnp.int32)
+    wxs = wfn(frac_x)
+    fdtype = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+
+    def xpass(strip):
+        def bx(k, accs):
+            s = k + kx_lo
+            tap = _tap(strip, k)
+            out = []
+            for ox, acc in zip(distinct_ox, accs):
+                c = jnp.zeros(ilo_x.shape, jnp.float32)
+                for j in range(ntx):
+                    # tap j of floor+ox reads column ilo_x + ox + tap0 + j
+                    c = c + jnp.where(
+                        ilo_x == (s - ox - tap0_x - j), wxs[j], 0.0
+                    )
+                out.append(acc + jnp.where(c == 0.0, 0.0, c * tap))
+            return tuple(out)
+
+        init = tuple(jnp.zeros(img.shape, fdtype) for _ in distinct_ox)
+        probe = _tap(strip, 0).astype(fdtype)
+        init = tuple(
+            a + jnp.where(jnp.zeros((), bool), probe, a) for a in init
+        )
+        return jax.lax.fori_loop(0, n_k, bx, init)
+
+    def by(m, accs):
+        s = m + my_lo
+        xs = xpass(_strip(m))
+        x_by_ox = dict(zip(distinct_ox, xs))
+        out = []
+        for (ox, oy), acc in zip(offsets, accs):
+            c = jnp.zeros(ilo_y.shape, jnp.float32)
+            for j in range(nty):
+                c = c + jnp.where(ilo_y == (s - oy - tap0_y - j), wys[j], 0.0)
+            out.append(acc + jnp.where(c == 0.0, 0.0, c * x_by_ox[ox]))
+        return tuple(out)
+
+    init = tuple(jnp.zeros(img.shape, fdtype) for _ in offsets)
+    probe = _tap(_strip(0), 0).astype(fdtype)
+    init = tuple(a + jnp.where(jnp.zeros((), bool), probe, a) for a in init)
+    return jnp.stack(jax.lax.fori_loop(0, n_m, by, init), axis=0)
 
 
 def warp_banded(img, flow, radius=20, method="linear", fill_value=jnp.nan, pad_mode="constant"):

@@ -129,25 +129,30 @@ def _flow_band_radii(*flows):
 
 
 def _warp_plane_banded(img, flow, offsets, method, fill_value, ry=21, rx=21):
-    from tobac_flow_tpu.ops.banded import warp_banded, warp_banded_exact
+    from tobac_flow_tpu.ops.banded import warp_banded, warp_banded_exact_multi
 
+    if BANDED_EXACT:
+        # one shared-band pass for the whole structuring plane: the integer
+        # offsets only shift which strip a pixel reads, so all slice traffic
+        # is amortised across the plane's taps.  The caller's (ry, rx)
+        # already cover max |flow| + 1 tap offset, so shrink the flow band
+        # by the max offset the call folds back in.
+        max_ox = max((abs(int(ox)) for ox, _ in offsets), default=0)
+        max_oy = max((abs(int(oy)) for _, oy in offsets), default=0)
+        return warp_banded_exact_multi(
+            img, flow, offsets,
+            radius_y=max(1, ry - max_oy), radius_x=max(1, rx - max_ox),
+            method=method, fill_value=fill_value,
+        )
     outs = []
     for ox, oy in offsets:
         off = jnp.asarray([float(ox), float(oy)], dtype=jnp.float32)
-        if BANDED_EXACT:
-            outs.append(
-                warp_banded_exact(
-                    img, flow + off, method=method, fill_value=fill_value,
-                    radius_y=ry, radius_x=rx,
-                )
+        outs.append(
+            warp_banded(
+                img, flow + off, radius=max(ry, rx), method=method,
+                fill_value=fill_value,
             )
-        else:
-            outs.append(
-                warp_banded(
-                    img, flow + off, radius=max(ry, rx), method=method,
-                    fill_value=fill_value,
-                )
-            )
+        )
     return jnp.stack(outs, axis=0)
 
 

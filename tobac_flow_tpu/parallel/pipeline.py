@@ -125,162 +125,193 @@ def _nanmean_taps(taps):
     return jnp.where(count > 0, total / jnp.maximum(count, 1), jnp.nan)
 
 
-def _detect_step_local(bt, wvd, swd, dt_minutes, params, hx, ws_sweeps,
-                       vr_steps=0, smoothing_passes=0,
-                       interp_method="linear"):
-    """shard_map body: local (T_l, H, W_l) blocks + halo exchanges."""
+def _detect_step_local(bt, wvd, swd, dt, fwd_in, bwd_in, *, params, hx,
+                       ws_sweeps, vr_steps, smoothing_passes, interp_method,
+                       use_wvd, wvd_threshold, bt_threshold, thick_upper,
+                       thick_lower, erode_distance, warp_radius, w_global,
+                       use_injected_flows, label_rounds):
+    """shard_map body: local (T_l, H, W_l) tiles + halo exchanges.
+
+    Runs the REAL detection science (``parallel/science.py`` — the
+    cross-shard-exact form of ``detect/fused.py``): combined curvature/peak
+    filters, flow-tracked growth markers, flow-displaced core labelling, and
+    the thick-anvil chain (marker mask -> -1-barrier seeds -> cubic
+    uphill-Sobel edges -> sharded watershed).  Reference science:
+    ``tobac_flow/detection.py:301-482,538-642``.
+    """
+    from tobac_flow_tpu.parallel.science import (
+        sharded_anvil_marker_mask,
+        sharded_anvil_prep,
+        sharded_core_markers,
+    )
+
     nan = jnp.float32(jnp.nan)
 
-    # -- halo-extend in x then t ----------------------------------------
-    bt_x = halo_exchange_x(bt, halo=hx, fill_value=nan)
-    wvd_x = halo_exchange_x(wvd, halo=hx, fill_value=nan)
-    swd_x = halo_exchange_x(swd, halo=hx, fill_value=nan)
-    bt_h = halo_exchange_t(bt_x, halo=1, fill_value=nan)
-    wvd_h = halo_exchange_t(wvd_x, halo=1, fill_value=nan)
+    if use_injected_flows:
+        fwd, bwd = fwd_in, bwd_in
+    else:
+        bt_x = halo_exchange_x(bt, halo=hx, fill_value=nan)
+        bt_h = halo_exchange_t(bt_x, halo=1, fill_value=nan)
+        fwd, bwd = _local_flow(
+            bt_h, params, vr_steps=vr_steps,
+            smoothing_passes=smoothing_passes, interp_method=interp_method,
+        )
+        fwd = jnp.clip(fwd, -20.0, 20.0)
+        bwd = jnp.clip(bwd, -20.0, 20.0)
+        # reference boundary rule at the global sequence ends
+        t_idx = jax.lax.axis_index("t")
+        n_t = jax.lax.axis_size("t")
+        is_first = t_idx == 0
+        is_last = t_idx == n_t - 1
+        bwd = bwd.at[0].set(jnp.where(is_first, -fwd[0], bwd[0]))
+        fwd = fwd.at[-1].set(jnp.where(is_last, -bwd[-1], fwd[-1]))
+        # crop the x halo: the science layer re-exchanges per stage
+        fwd = fwd[:, :, hx:-hx] if hx else fwd
+        bwd = bwd[:, :, hx:-hx] if hx else bwd
 
-    # -- optical flow on extended tiles ---------------------------------
-    fwd, bwd = _local_flow(
-        bt_h, params, vr_steps=vr_steps,
-        smoothing_passes=smoothing_passes, interp_method=interp_method,
+    core_markers = sharded_core_markers(
+        bt, wvd, swd, fwd, bwd, dt, hx, w_global,
+        use_wvd=use_wvd, wvd_threshold=wvd_threshold,
+        bt_threshold=bt_threshold, warp_radius=warp_radius,
     )
-    fwd = jnp.clip(fwd, -20.0, 20.0)
-    bwd = jnp.clip(bwd, -20.0, 20.0)
-    # reference boundary rule at the global sequence ends
-    t_idx = jax.lax.axis_index("t")
-    n_t = jax.lax.axis_size("t")
-    is_first = t_idx == 0
-    is_last = t_idx == n_t - 1
-    bwd = bwd.at[0].set(jnp.where(is_first, -fwd[0], bwd[0]))
-    fwd = fwd.at[-1].set(jnp.where(is_last, -bwd[-1], fwd[-1]))
 
-    # -- semi-Lagrangian growth rate of -bt -----------------------------
-    centre = (0, 0)
-    prev_tap = _stencil_gather(-bt_h, bwd, -1, [centre], nan)[0]
-    next_tap = _stencil_gather(-bt_h, fwd, +1, [centre], nan)[0]
-    cur = -bt_x
-    f_ok = jnp.isfinite(next_tap)
-    b_ok = jnp.isfinite(prev_tap)
-    diff = (
-        jnp.where(f_ok, next_tap - cur, 0.0) + jnp.where(b_ok, cur - prev_tap, 0.0)
-    ) / jnp.maximum(f_ok.astype(jnp.float32) + b_ok.astype(jnp.float32), 1.0)
-    growth = diff / dt_minutes
-    # spatial smoothing (in-plane cross); NaN-padded shifts — a roll would
-    # wrap the domain toroidally in y (and leak across the x halo)
-    sp = [growth]
-    for ox, oy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-        sp.append(_pad_shift(growth, oy, ox, nan))
-    bt_growth = _nanmean_taps(sp)
+    from tobac_flow_tpu.parallel.label import _label_step_local
 
-    # -- core marker mask -----------------------------------------------
-    core_markers = bt_growth > 0.5
-
-    # -- anvil field, markers, edge field -------------------------------
-    anvil_field = jnp.clip((wvd_x - swd_x + 15.0) / 10.0, 0.0, 1.0)
-    anvil_markers = anvil_field >= 1.0
-    # uphill Sobel magnitude along the flow (full 27-tap stencil)
-    offsets = [(ox, oy) for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
-    field_h = halo_exchange_t(anvil_field, halo=1, fill_value=nan)
-    taps_prev = _stencil_gather(field_h, bwd, -1, offsets, nan)
-    taps_next = _stencil_gather(field_h, fwd, +1, offsets, nan)
-    taps_same = [_pad_shift(anvil_field, oy, ox, nan) for ox, oy in offsets]
-    centre_val = anvil_field
-    # axis-permuted 3D Sobel weights over the (3,3,3) stencil
-    base = np.multiply.outer(
-        np.array([1, 2, 1]), np.multiply.outer(np.array([1, 2, 1]), np.array([-1, 0, 1]))
+    in_plane = tuple(
+        (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        if (dy, dx) != (0, 0) and abs(dy) + abs(dx) <= 1
     )
-    w_x = base  # gradient along x
-    w_y = base.transpose(0, 2, 1)
-    w_tt = base.transpose(2, 0, 1)
-    gx = gy = gt = 0.0
-    all_taps = [taps_prev, taps_same, taps_next]
-    for pi, plane in enumerate(all_taps):
-        for oi, (ox, oy) in enumerate(offsets):
-            rect = jnp.fmax(plane[oi] - centre_val, 0.0)
-            rect = jnp.where(jnp.isnan(rect), 0.0, rect)
-            gx = gx + float(w_x[pi, oy + 1, ox + 1]) * rect
-            gy = gy + float(w_y[pi, oy + 1, ox + 1]) * rect
-            gt = gt + float(w_tt[pi, oy + 1, ox + 1]) * rect
-    edges = jnp.sqrt(gx * gx + gy * gy + gt * gt)
-    edges = jnp.where(edges > 0, edges + 1.0, edges) - anvil_field
-    edges = jnp.where(jnp.isnan(anvil_field), jnp.inf, edges)
+    core_labels = _label_step_local(
+        core_markers, fwd, bwd, t_total=0, w_total=w_global,
+        in_plane=in_plane, halo=warp_radius, max_rounds=label_rounds,
+    )
 
-    # -- seeded watershed: interior tiles, per-round ICI halo refresh ----
+    # sequence the core-label loop before the anvil chain's collective
+    # loops: XLA CPU executes independent collective while-loops
+    # concurrently per device, and its rendezvous keying collides across
+    # loops (hard crash); the barrier makes the ordering explicit
+    core_labels, wvd_seq = jax.lax.optimization_barrier((core_labels, wvd))
+
+    field_thick = wvd_seq - swd
+    anvil_mask = sharded_anvil_marker_mask(field_thick, thick_upper)
+
     from tobac_flow_tpu.parallel.watershed import (
         global_marker_labels,
         sharded_watershed_local,
     )
 
-    # crop x halos back to the interior tile (the x axis is axis 2; flow
-    # arrays carry a trailing component axis)
-    def crop(a):
-        return a[:, :, hx:-hx] if hx else a
-
-    markers_int = global_marker_labels(crop(anvil_markers))
-    label = sharded_watershed_local(
-        crop(edges),
-        markers_int,
-        jnp.round(crop(fwd)).astype(jnp.int32),
-        jnp.round(crop(bwd)).astype(jnp.int32),
+    marker_ids = global_marker_labels(anvil_mask, w_global=w_global)
+    edges, eroded = sharded_anvil_prep(
+        field_thick, marker_ids, fwd, bwd, thick_lower, thick_upper,
+        erode_distance, hx, warp_radius=warp_radius,
+    )
+    thick_labels = sharded_watershed_local(
+        edges,
+        eroded,
+        jnp.round(fwd).astype(jnp.int32),
+        jnp.round(bwd).astype(jnp.int32),
+        radius=warp_radius,
         max_rounds=ws_sweeps,
     )
 
-    return (
-        crop(fwd),
-        crop(bwd),
-        crop(bt_growth),
-        crop(core_markers),
-        crop(edges),
-        label,
-    )
+    return fwd, bwd, core_markers, core_labels, edges, thick_labels
 
 
 def make_sharded_step(
     mesh,
+    w_global,
     dt_minutes: float = 5.0,
     params: FarnebackParams | None = None,
-    hx: int = 8,
-    ws_sweeps: int = 4,
+    hx: int = 24,
+    ws_sweeps: int = 8,
     vr_steps: int = 0,
     smoothing_passes: int = 0,
     interp_method: str = "linear",
+    use_wvd: bool = True,
+    wvd_threshold: float = 0.25,
+    bt_threshold: float = 0.5,
+    thick_upper: float = -5.0,
+    thick_lower: float = -12.5,
+    erode_distance: int = 2,
+    warp_radius: int = 21,
+    inject_flows: bool = False,
+    label_rounds: int = 256,
 ):
     """Build the jitted SPMD detection step for a given mesh.
 
-    Returns a function (bt, wvd, swd) -> (fwd, bwd, bt_growth, core_markers,
-    edge_field, watershed_labels) with all inputs/outputs sharded
-    P('t', None, 'x').
+    Returns a function (bt, wvd, swd[, fwd, bwd]) -> (fwd, bwd,
+    core_markers, core_labels, edge_field, thick_anvil_labels) with all
+    inputs/outputs sharded P('t', None, 'x').  ``hx`` must be at least
+    ``warp_radius + 3`` for edge-exact science (the warp band plus the
+    deepest local stencil margin); flow fields can be injected
+    (``inject_flows=True``) to decouple flow estimation from the science —
+    that configuration is bit-comparable to the single-chip fused programs.
     """
     if params is None:
         params = FarnebackParams(num_levels=2, winsize=9, num_iters=3)
     spec = P("t", None, "x")
+    spec_t = P("t", None, None)
+    flow_spec = P("t", None, "x", None)
 
     body = functools.partial(
         _detect_step_local,
-        dt_minutes=dt_minutes,
         params=params,
         hx=hx,
         ws_sweeps=ws_sweeps,
         vr_steps=vr_steps,
         smoothing_passes=smoothing_passes,
         interp_method=interp_method,
+        use_wvd=use_wvd,
+        wvd_threshold=wvd_threshold,
+        bt_threshold=bt_threshold,
+        thick_upper=thick_upper,
+        thick_lower=thick_lower,
+        erode_distance=erode_distance,
+        warp_radius=warp_radius,
+        w_global=w_global,
+        use_injected_flows=inject_flows,
+        label_rounds=label_rounds,
     )
-    flow_spec = P("t", None, "x", None)
     mapped = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, spec_t, flow_spec, flow_spec),
         out_specs=(flow_spec, flow_spec, spec, spec, spec, spec),
     )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def step(bt, wvd, swd, fwd=None, bwd=None):
+        t = bt.shape[0]
+        dt = jnp.full((t, 1, 1), jnp.float32(dt_minutes))
+        if fwd is None:
+            fwd = jnp.zeros(bt.shape + (2,), jnp.float32)
+            bwd = jnp.zeros(bt.shape + (2,), jnp.float32)
+        return jitted(bt, wvd, swd, dt, fwd, bwd)
+
+    return step
 
 
-def sharded_detect_step(mesh, bt, wvd, swd, **kwargs):
-    """Convenience wrapper: place the inputs on the mesh and run one step."""
-    step = make_sharded_step(mesh, **kwargs)
+def sharded_detect_step(mesh, bt, wvd, swd, flows=None, **kwargs):
+    """Convenience wrapper: place the inputs on the mesh and run one step.
+
+    ``flows=(fwd, bwd)`` injects precomputed flow fields (sets
+    ``inject_flows``); otherwise the step estimates flow on halo-extended
+    tiles in-body.
+    """
+    w_global = np.asarray(bt).shape[-1]
+    step = make_sharded_step(
+        mesh, w_global, inject_flows=flows is not None, **kwargs
+    )
     spec = P("t", None, "x")
     sharding = NamedSharding(mesh, spec)
     args = [
         jax.device_put(jnp.asarray(np.asarray(a), dtype=jnp.float32), sharding)
         for a in (bt, wvd, swd)
     ]
+    if flows is not None:
+        fsh = NamedSharding(mesh, P("t", None, "x", None))
+        args += [
+            jax.device_put(jnp.asarray(np.asarray(f), dtype=jnp.float32), fsh)
+            for f in flows
+        ]
     return step(*args)

@@ -1,0 +1,168 @@
+"""Watershed tie-class sensitivity: how much does the REFERENCE heap's own
+answer move when only its tie-breaking is perturbed?
+
+The serial heap resolves equal-minimax-cost plateaus by push age
+(reference ``_watershed.pyx:308-337``).  Those assignments are degenerate:
+any permutation of the seed push order is an equally valid "reference".
+This study quantifies that degeneracy on the PARITY_DETECT anvil scenes —
+K seed-order permutations of the C++ heap oracle, pairwise per-object IoU —
+and puts the TPU watershed's deviation next to it.  If TPU-vs-ref falls
+inside the ref-vs-ref spread, the residual anvil IoU gap is formally tie
+degeneracy, not error.
+
+Usage:  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/tie_sensitivity.py
+Writes TIE_SENSITIVITY.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent))
+
+from parity_detect import make_multistorm_scene, object_iou  # noqa: E402
+
+
+def anvil_watershed_inputs(flow, field_raw, markers, lower, upper, erode):
+    """detect_anvils' watershed inputs built on the CPU reference stack
+    (detection.py:393-403 semantics) — shared verbatim by every contender."""
+    from tobac_flow_tpu.detect.detection import (
+        get_combined_edge_field,
+        get_watershed_mask,
+    )
+    from tobac_flow_tpu.ops import morphology as morph
+    from tobac_flow_tpu.utils.normalisation import linearise_field
+
+    field = linearise_field(np.asarray(field_raw), lower, upper)
+    markers = np.asarray(markers)
+    s2 = np.zeros((3, 3, 3), bool)
+    s2[1, 1, :] = True
+    s2[1, :, 1] = True
+    eroded = markers * np.asarray(
+        morph.binary_erosion(markers != 0, structure=s2)
+    ).astype(int)
+    mask = get_watershed_mask(field, erode_distance=erode)
+    eroded[mask] = -1
+    edges = get_combined_edge_field(flow, field)
+    return edges, eroded
+
+
+def clean_labels(raw, markers):
+    """detect_anvils' post pass (clamp negatives, opening, marker override)."""
+    from tobac_flow_tpu.ops import morphology as morph
+
+    out = np.asarray(raw).copy()
+    out[out < 0] = 0
+    s2 = np.zeros((3, 3, 3), bool)
+    s2[1, 1, :] = True
+    s2[1, :, 1] = True
+    out *= np.asarray(morph.binary_opening(out != 0, structure=s2)).astype(int)
+    wh = np.asarray(markers) > 0
+    out[wh] = np.asarray(markers)[wh]
+    return out
+
+
+def run_study(t=16, h=256, w=384, n_perms=6, seed=0):
+    from cpu_reference import CpuFlow
+
+    from tobac_flow_tpu.core.flow import Flow, create_flow
+    from tobac_flow_tpu.detect import detect_cores, get_anvil_markers
+    from tobac_flow_tpu.native import flow_watershed_host
+
+    bt_v, wvd_v, swd_v = make_multistorm_scene(t, h, w, seed=seed)
+    import parity_detect as pd
+
+    bt, wvd, swd = pd._da(bt_v, "bt"), pd._da(wvd_v, "wvd"), pd._da(swd_v, "swd")
+    flow_fields = create_flow(
+        bt_v, vr_steps=1, smoothing_passes=1, interp_method="cubic"
+    )
+    cpu_flow = CpuFlow(flow_fields.forward_flow, flow_fields.backward_flow)
+    tpu_flow = Flow(flow_fields.forward_flow, flow_fields.backward_flow)
+
+    # shared upstream chain (CPU stack): markers for the thick-anvil stage
+    markers = np.asarray(
+        get_anvil_markers(
+            cpu_flow, wvd - swd, threshold=-5.0, overlap=0.5, absolute_overlap=4
+        ).values
+    )
+    report = {}
+    for stage, field_raw, stage_markers in (
+        ("thick_anvil", wvd_v - swd_v, markers),
+        # the thin stage seeds from the IDENTITY oracle's thick labels so the
+        # only difference under study stays the watershed tie-breaking
+        ("thin_anvil", wvd_v + swd_v, None),
+    ):
+        if stage_markers is None:
+            stage_markers = report["thick_anvil"]["_identity_labels"]
+            lower, upper = -7.5, 0.0
+        else:
+            lower, upper = -12.5, -5.0
+        edges, eroded = anvil_watershed_inputs(
+            cpu_flow, field_raw, stage_markers, lower, upper, erode=2
+        )
+
+        rng = np.random.default_rng(1234)
+        ref_runs = []
+        for k in range(n_perms):
+            order = None if k == 0 else rng
+            raw = flow_watershed_host(
+                flow_fields.forward_flow,
+                flow_fields.backward_flow,
+                edges,
+                eroded,
+                seed_order=order,
+            )
+            ref_runs.append(clean_labels(raw, stage_markers))
+            print(f"{stage}: oracle permutation {k} done", flush=True)
+
+        raw_tpu = tpu_flow.watershed(
+            np.asarray(edges), eroded,
+            connectivity=np.abs(np.indices((3, 3, 3)) - 1).sum(axis=0) <= 1,
+        )
+        tpu_labels = clean_labels(raw_tpu, stage_markers)
+        print(f"{stage}: TPU watershed done", flush=True)
+
+        ref_vs_ref = [
+            object_iou(a, b)[:2]
+            for a, b in itertools.combinations(ref_runs, 2)
+        ]
+        tpu_vs_ref = [object_iou(r, tpu_labels)[:2] for r in ref_runs]
+        report[stage] = {
+            "n_perms": n_perms,
+            "ref_vs_ref_mean_iou": {
+                "min": round(min(m for m, _ in ref_vs_ref), 4),
+                "mean": round(float(np.mean([m for m, _ in ref_vs_ref])), 4),
+            },
+            "ref_vs_ref_min_iou": round(min(w_ for _, w_ in ref_vs_ref), 4),
+            "tpu_vs_ref_mean_iou": {
+                "min": round(min(m for m, _ in tpu_vs_ref), 4),
+                "mean": round(float(np.mean([m for m, _ in tpu_vs_ref])), 4),
+            },
+            "tpu_vs_ref_min_iou": round(min(w_ for _, w_ in tpu_vs_ref), 4),
+            "tpu_inside_ref_spread": bool(
+                np.mean([m for m, _ in tpu_vs_ref])
+                >= min(m for m, _ in ref_vs_ref) - 1e-9
+            ),
+            "_identity_labels": ref_runs[0],
+        }
+    for v in report.values():
+        v.pop("_identity_labels", None)
+    return {"scene": f"{t}x{h}x{w}", **report}
+
+
+def main():
+    out = run_study()
+    print(json.dumps(out, indent=2))
+    Path(__file__).parent.parent.joinpath("TIE_SENSITIVITY.json").write_text(
+        json.dumps(out, indent=2)
+    )
+
+
+if __name__ == "__main__":
+    main()
