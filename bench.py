@@ -174,11 +174,14 @@ def tpu_cli_flow(bt):
 
 
 def tpu_ccl(mask):
-    """Device per-frame CCL (ops/ccl.py — gather-free segmented min-scans)."""
+    """Per-frame CCL of a device-resident mask through ``ops/ccl.py``'s
+    measured dispatch policy (host round trip — 3x the pure device
+    segmented-scan formulation on this rig, see the policy table in
+    ``ops/ccl.py``); result lands back on device."""
     from tobac_flow_tpu.ops.ccl import flat_label
 
     labels = flat_label(mask)
-    return int(labels.max())
+    return int(np.asarray(labels.max()))
 
 
 def _cpu_pair_flows(bt, refine=False):

@@ -45,6 +45,25 @@ def test_flat_label_matches_scipy(seed):
     assert np.array_equal(ours, oracle)
 
 
+def test_flat_label_device_input_dispatch_policy(monkeypatch):
+    """Device-resident input routes through the measured host policy by
+    default (identical labels, device-resident result); CCL_FORCE_DEVICE
+    re-enables the pure device formulation — still the same partition."""
+    import jax.numpy as jnp
+
+    from tobac_flow_tpu.ops import ccl as ccl_mod
+
+    rng = np.random.default_rng(5)
+    mask = rng.random((3, 18, 22)) > 0.6
+    host = flat_label(mask)
+    via_policy = flat_label(jnp.asarray(mask))
+    assert not isinstance(via_policy, np.ndarray)  # stays device-resident
+    assert np.array_equal(np.asarray(via_policy), host)
+    monkeypatch.setattr(ccl_mod, "CCL_FORCE_DEVICE", True)
+    via_device = np.asarray(flat_label(jnp.asarray(mask)))
+    assert np.array_equal(via_device, host)
+
+
 def test_flat_label_full_connectivity():
     rng = np.random.default_rng(3)
     mask = rng.random((3, 15, 15)) > 0.7

@@ -94,5 +94,7 @@ def test_time_tiled_sweeps_bit_equal(connectivity):
 
 def test_pallas_disabled_on_cpu():
     """The auto-probe must refuse the kernel off-TPU (tests run on CPU)."""
-    ws._PALLAS_SPATIAL = None
+    ws._PALLAS_SPATIAL.clear()
     assert ws._pallas_spatial_usable() is False
+    # the per-width cache records the refusal for the probed bucket
+    assert ws._PALLAS_SPATIAL == {256: False}

@@ -145,10 +145,13 @@ def run_detection(
             bt = None  # frees the frame when the caller passed its only ref
 
     print(datetime.now(), "Detecting thick anvil region", flush=True)
+    # build each derived field once: the marker and watershed stages share
+    # the SAME array object, so its device upload is cached across stages
+    wvd_minus_swd = wvd - swd
     with stage("anvil_markers"):
         anvil_markers = get_anvil_markers(
             flow,
-            wvd - swd,
+            wvd_minus_swd,
             threshold=opts.thick_upper,
             overlap=opts.overlap,
             absolute_overlap=opts.absolute_overlap,
@@ -163,7 +166,7 @@ def run_detection(
     with stage("thick_anvils"):
         thick_anvil_labels = detect_anvils(
             flow,
-            wvd - swd,
+            wvd_minus_swd,
             markers=anvil_markers,
             upper_threshold=opts.thick_upper,
             lower_threshold=opts.thick_lower,
@@ -198,6 +201,7 @@ def run_detection(
     if checkpoint is not None and not opts.save_anvil_markers:
         anvil_markers = None  # free before the thin-anvil watershed peak
 
+    wvd_minus_swd = None  # free (and uncache) before the thin-anvil peak
     print(datetime.now(), "Detecting thin anvil region", flush=True)
     with stage("thin_anvils"):
         thin_anvil_labels = detect_anvils(

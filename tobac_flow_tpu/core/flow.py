@@ -44,8 +44,16 @@ def create_flow(
         smoothing_passes=smoothing_passes,
         interp_method=interp_method,
     )
-    forward_flow = np.clip(forward_flow, -max_value, max_value)
-    backward_flow = np.clip(backward_flow, -max_value, max_value)
+    if isinstance(forward_flow, np.ndarray):
+        forward_flow = np.clip(forward_flow, -max_value, max_value)
+        backward_flow = np.clip(backward_flow, -max_value, max_value)
+    else:
+        # device-resident flows (models.FLOW_RESIDENCY_BUDGET_BYTES): clip
+        # on device — np.clip would silently read the field back to host
+        import jax.numpy as jnp
+
+        forward_flow = jnp.clip(forward_flow, -max_value, max_value)
+        backward_flow = jnp.clip(backward_flow, -max_value, max_value)
     return Flow(forward_flow, backward_flow)
 
 

@@ -315,12 +315,30 @@ def _warp_mode_key():
     return (m.FAST_WARP, m.BANDED_EXACT)
 
 
+# whole-field device residency budget for the chunked drivers: below this
+# the full array is uploaded ONCE (identity cache) and chunks are sliced on
+# device; above it (GOES full-disk scale) chunks upload from host slices so
+# HBM holds only the working set
+WHOLE_UPLOAD_BUDGET_BYTES = 2 << 30
+
+
 def _maybe_cached(arr, s0, e0, t):
-    """Whole-window device transfer rides the identity cache; sub-windows
-    upload their slice."""
+    """Device view of frames [s0, e0) of ``arr`` with transfer caching.
+
+    Host-slicing per chunk would re-upload every chunk of every stage
+    (gigabytes per stage over a slow link); instead the whole field rides
+    the identity-keyed cache and the chunk is sliced device-side, unless the
+    field alone exceeds the residency budget.  Already-device-resident
+    arrays (e.g. flows under models.FLOW_RESIDENCY_BUDGET_BYTES) slice in
+    place with no transfer at all."""
+    if not isinstance(arr, np.ndarray):
+        dev = jnp.asarray(arr)
+        return dev if (s0 == 0 and e0 == t) else dev[s0:e0]
     if s0 == 0 and e0 == t:
-        return device_put_cached(np.asarray(arr))
-    return jnp.asarray(np.asarray(arr)[s0:e0])
+        return device_put_cached(arr)
+    if arr.nbytes <= WHOLE_UPLOAD_BUDGET_BYTES:
+        return device_put_cached(arr)[s0:e0]
+    return jnp.asarray(arr[s0:e0])
 
 
 def fused_core_markers(

@@ -18,6 +18,12 @@ import numpy as np
 from tobac_flow_tpu.models.farneback import FarnebackParams, farneback_pair
 from tobac_flow_tpu.models.variational import variational_refine
 
+# flow fields stay device-resident (no readback, downstream ops consume them
+# in place) when all four per-direction component arrays fit this budget;
+# above it (GOES full disk x day) they return as host arrays and later
+# stages stream chunks
+FLOW_RESIDENCY_BUDGET_BYTES = 4 << 30
+
 __all__ = [
     "select_of_model",
     "batch_flow",
@@ -197,31 +203,46 @@ def batch_flow(
     if t < 2:
         raise ValueError("Need at least two frames to compute flow")
     n_pairs = t - 1
-    fwd = np.full(data.shape + (2,), np.nan, dtype=np.float32)
-    bwd = np.full(data.shape + (2,), np.nan, dtype=np.float32)
+    from tobac_flow_tpu.utils.device_cache import device_put_cached
 
+    # one cached upload of the whole stack; pairs slice device-side (the
+    # previous per-chunk host uploads + per-chunk readbacks cost gigabytes
+    # of link traffic on a GOES day).  Below the residency budget the flow
+    # fields STAY on device — every downstream op consumes them there, so
+    # the readback disappears entirely.
+    dev = device_put_cached(data)
+    device_resident = 4 * data.nbytes <= FLOW_RESIDENCY_BUDGET_BYTES
+    if t > 2 * chunk:
+        chunk = max(chunk, 32)  # long windows: fewer, fatter dispatches
     chunk = min(chunk, n_pairs)
+
+    f_parts = []
+    b_parts = []
     for start in range(0, n_pairs, chunk):
         stop = min(start + chunk, n_pairs)
         c = stop - start
-        prev = data[start:stop]
-        nxt = data[start + 1 : stop + 1]
-        if c < chunk:  # pad to the compiled chunk shape
+        prev = dev[start:stop]
+        nxt = dev[start + 1 : stop + 1]
+        if c < chunk:  # pad the tail to the compiled chunk shape
             pad = chunk - c
-            prev = np.concatenate([prev, np.repeat(prev[-1:], pad, axis=0)])
-            nxt = np.concatenate([nxt, np.repeat(nxt[-1:], pad, axis=0)])
+            prev = jnp.concatenate([prev, jnp.repeat(prev[-1:], pad, axis=0)])
+            nxt = jnp.concatenate([nxt, jnp.repeat(nxt[-1:], pad, axis=0)])
         f, b = _chunk_flow(
-            jnp.asarray(prev),
-            jnp.asarray(nxt),
+            prev,
+            nxt,
             model,
             int(vr_steps),
             int(smoothing_passes),
             interp_method,
             normalisation_method,
         )
-        fwd[start:stop] = np.asarray(f)[:c]
-        bwd[start + 1 : stop + 1] = np.asarray(b)[:c]
+        f_parts.append(f[:c])
+        b_parts.append(b[:c])
 
-    fwd[-1] = -bwd[-1]
-    bwd[0] = -fwd[0]
-    return fwd, bwd
+    f_pairs = jnp.concatenate(f_parts, axis=0)  # pair i: frame i -> i+1
+    b_pairs = jnp.concatenate(b_parts, axis=0)
+    fwd = jnp.concatenate([f_pairs, -b_pairs[-1:]], axis=0)
+    bwd = jnp.concatenate([-f_pairs[:1], b_pairs], axis=0)
+    if device_resident:
+        return fwd, bwd
+    return np.asarray(fwd), np.asarray(bwd)

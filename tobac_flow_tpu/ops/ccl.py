@@ -182,16 +182,29 @@ def relabel_sequential(raw_labels, frame_offset=True):
     return out
 
 
+# Dispatch policy for device-resident inputs, measured on the TPU rig
+# (tools/ccl_probe.py, 24x1024x1536 storm mask):
+#   device segmented-scan CCL : 13.8 s  (the associative scans lower ~100x
+#                                        off memory speed on this stack)
+#   host round trip           :  4.6 s  (bool readback + scipy union-find +
+#                                        label upload, slow-tunnel link)
+#   host scipy (host input)   :  0.37 s
+# The host round trip beats the device formulation 3x even over the slow
+# tunnel (PCIe hosts widen the gap), so device inputs route through the
+# host by default; set CCL_FORCE_DEVICE to study the device path.
+CCL_FORCE_DEVICE = False
+
+
 def flat_label(mask, structure=DEFAULT_STRUCTURE, dtype=np.int32):
     """Connected components that do not connect across the leading (time)
     dimension, numbered contiguously (parity with reference
     ``utils/label_utils.py:143-180``).
 
-    Host numpy input dispatches to scipy's serial union-find: per-frame 2D
-    CCL of a sparse storm mask is memory-bound pointer chasing that the host
-    does at memcpy speed, while the device formulation pays full-volume
-    sweeps — measured 100x+ slower for host-resident CLI data once transfer
-    is counted.  Device-resident input stays on device (no readback)."""
+    Dispatch policy (measured — see table above): host numpy input runs
+    scipy's serial union-find directly; device-resident input is read back,
+    labelled on host and re-uploaded — the fastest measured route for
+    device callers too.  ``label_components_device`` remains the pure
+    device formulation (no host transfer) for callers inside jit."""
     if isinstance(mask, np.ndarray):
         from scipy import ndimage
 
@@ -205,5 +218,10 @@ def flat_label(mask, structure=DEFAULT_STRUCTURE, dtype=np.int32):
             out[i] = np.where(lab > 0, lab + offset, 0)
             offset += n
         return out.astype(dtype)
+    if not CCL_FORCE_DEVICE:
+        import jax.numpy as jnp
+
+        host = flat_label(np.asarray(mask), structure=structure, dtype=dtype)
+        return jnp.asarray(host)
     raw = label_components_device(mask, structure=structure)
     return relabel_sequential(raw).astype(dtype)

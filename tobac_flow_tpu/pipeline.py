@@ -16,7 +16,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from tobac_flow_tpu.models.farneback import FarnebackParams, farneback_pair
-from tobac_flow_tpu.ops.banded import warp_banded
+from tobac_flow_tpu.ops.banded import (
+    warp_banded,
+    warp_banded_exact,
+    warp_banded_exact_multi,
+)
 from tobac_flow_tpu.ops.warp import shift_plane, warp_plane
 from tobac_flow_tpu.ops.watershed import watershed
 
@@ -99,7 +103,7 @@ def device_flow(
     return jnp.clip(fwd, -max_value, max_value), jnp.clip(bwd, -max_value, max_value)
 
 
-def _flow_diff(data, fwd, bwd, method="linear"):
+def _flow_diff(data, fwd, bwd, method="linear", radius=20):
     """Semi-Lagrangian central difference, mapped over frames (whole-volume
     gathers on GOES-scale stacks hit a slow XLA path; per-frame gathers via
     lax.map run several times faster and bound the working set)."""
@@ -113,8 +117,12 @@ def _flow_diff(data, fwd, bwd, method="linear"):
         nxt = jax.lax.dynamic_index_in_dim(padded, i + 2, keepdims=False)
         bw = jax.lax.dynamic_index_in_dim(bwd, i, keepdims=False)
         fw = jax.lax.dynamic_index_in_dim(fwd, i, keepdims=False)
-        prev_tap = warp_banded(prev, bw, radius=20, method="linear")
-        next_tap = warp_banded(nxt, fw, radius=20, method="linear")
+        prev_tap = warp_banded_exact(
+            prev, bw, method=method, radius_y=radius, radius_x=radius
+        )
+        next_tap = warp_banded_exact(
+            nxt, fw, method=method, radius_y=radius, radius_x=radius
+        )
         f_ok = jnp.isfinite(next_tap)
         b_ok = jnp.isfinite(prev_tap)
         total = jnp.where(f_ok, next_tap - cur, 0.0) + jnp.where(
@@ -135,18 +143,19 @@ _SOBEL_WY = _SOBEL_BASE.transpose(0, 2, 1)
 _SOBEL_WT = _SOBEL_BASE.transpose(2, 0, 1)
 
 
-def _flow_sobel_uphill(data, fwd, bwd, method="linear", approx=True):
+def _flow_sobel_uphill(data, fwd, bwd, method="linear", approx=False,
+                      radius=20):
     """27-tap uphill Sobel, mapped over frames with ``lax.map`` so the
     per-step working set is a handful of single frames (the whole-volume
     formulation keeps ~100 (T,H,W) temporaries live and blows HBM on
     GOES-scale windows).
 
-    With ``approx=True`` (the performance path) each temporal plane is warped
-    ONCE by the flow and the 9 structuring offsets are taken as static shifts
-    of the warped frame — sampling img[p+o+flow(p+o)] instead of the
-    reference's img[p+flow(p)+o].  The difference is bounded by the flow
-    gradient over one pixel (sub-pixel for the smoothed Farneback fields) and
-    cuts the gather count per plane from 36 to 4."""
+    The default path warps each temporal plane at all 9 structuring offsets
+    in ONE shared-band exact pass (``warp_banded_exact_multi``) — reference
+    semantics img[p+flow(p)+o], with the band slice traffic amortised across
+    the offsets, so exactness costs about the same as the old approximation.
+    ``approx=True`` keeps the round-2 shortcut (warp once, shift the warped
+    frame) for A/B studies."""
     offsets = [(ox, oy) for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
     t, h, w = data.shape
     nan_frame = jnp.full((1, h, w), jnp.nan, dtype=data.dtype)
@@ -160,13 +169,17 @@ def _flow_sobel_uphill(data, fwd, bwd, method="linear", approx=True):
         fw = jax.lax.dynamic_index_in_dim(fwd, i, keepdims=False)
 
         if approx:
-            prev_w = warp_banded(prev, bw, radius=20, method="linear")
-            next_w = warp_banded(nxt, fw, radius=20, method="linear")
+            prev_w = warp_banded(prev, bw, radius=radius, method="linear")
+            next_w = warp_banded(nxt, fw, radius=radius, method="linear")
             prev_taps = shift_plane(prev_w, offsets, fill_value=jnp.nan)
             next_taps = shift_plane(next_w, offsets, fill_value=jnp.nan)
         else:
-            prev_taps = warp_plane(prev, bw, offsets, method=method, fill_value=jnp.nan)
-            next_taps = warp_plane(nxt, fw, offsets, method=method, fill_value=jnp.nan)
+            prev_taps = warp_banded_exact_multi(
+                prev, bw, offsets, radius, radius, method, jnp.nan
+            )
+            next_taps = warp_banded_exact_multi(
+                nxt, fw, offsets, radius, radius, method, jnp.nan
+            )
         same_taps = shift_plane(cur, offsets, fill_value=jnp.nan)
 
         gx = jnp.zeros((h, w), data.dtype)
@@ -185,13 +198,41 @@ def _flow_sobel_uphill(data, fwd, bwd, method="linear", approx=True):
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def _fields_stage(bt, dt_minutes, params=None):
-    """Flow + growth + anvil edge field in one jitted device program."""
-    fwd, bwd = device_flow(bt, params)
-    growth = -_flow_diff(bt, fwd, bwd) / dt_minutes
+def _flow_stage(bt, params=None):
+    return device_flow(bt, params)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def _detect_fields_stage(bt, fwd, bwd, dt_minutes, radius):
+    growth = -_flow_diff(bt, fwd, bwd, radius=radius) / dt_minutes
     field = jnp.clip((260.0 - bt) / 10.0, 0.0, 1.0)
-    edges = _flow_sobel_uphill(field, fwd, bwd)
+    edges = _flow_sobel_uphill(field, fwd, bwd, radius=radius)
     edges = jnp.where(edges > 0, edges + 1.0, edges) - field
+    return growth, field, edges
+
+
+def adaptive_band_radius(fwd, bwd, cap=20):
+    """Static band radius covering the actual flow extrema (one scalar
+    readback).  The exact banded warp's cost is linear in each radius, and
+    real flow rarely approaches the ±20 px clip."""
+    m = float(
+        jnp.maximum(jnp.max(jnp.abs(fwd)), jnp.max(jnp.abs(bwd)))
+    )
+    if not np.isfinite(m):
+        return int(cap)
+    return int(min(cap, max(2, int(np.ceil(m)))))
+
+
+def _fields_stage(bt, dt_minutes, params=None, radius=None):
+    """Flow + growth + anvil edge field: one flow program, then the detect
+    program with a flow-adapted static warp band (exact warps end to end)."""
+    fwd, bwd = _flow_stage(bt, params)
+    if radius is None:
+        if isinstance(bt, jax.core.Tracer):
+            radius = 20  # traced callers cannot read back the flow extrema
+        else:
+            radius = adaptive_band_radius(fwd, bwd)
+    growth, field, edges = _detect_fields_stage(bt, fwd, bwd, dt_minutes, radius)
     return fwd, bwd, growth, field, edges
 
 

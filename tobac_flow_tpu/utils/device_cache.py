@@ -28,8 +28,9 @@ import numpy as np
 
 __all__ = ["device_put_cached", "clear_device_cache"]
 
-_MAX_ENTRIES = 4  # flows + a couple of data fields; pinned HBM must leave
-# room for the watershed's working set on a 16 GB chip
+_MAX_ENTRIES = 8  # bt/wvd/swd + both flows + derived fields; full-disk-scale
+# arrays bypass the cache upstream (detect/fused.WHOLE_UPLOAD_BUDGET_BYTES)
+# so pinned HBM leaves room for the watershed's working set on a 16 GB chip
 _CACHE: OrderedDict = OrderedDict()
 
 

@@ -74,6 +74,34 @@ def labeled_comprehension(
     return np.asarray(out, dtype=dtype)
 
 
+# identity-keyed memo of the label raster's stable argsort (+ extrema): the
+# schema/statistics layer calls apply_func_to_labels many times per label
+# field and the argsort of a GOES-day raster costs ~10 s per call on host
+_SORT_MEMO: dict = {}
+_SORT_MEMO_MAX = 4
+
+
+def _label_sort_cached(labels):
+    import weakref
+
+    key = id(labels)
+    ent = _SORT_MEMO.get(key)
+    if ent is not None and ent[0]() is labels:
+        return ent[1], ent[2], ent[3]
+    lab_min = int(np.min(labels)) if labels.size else 0
+    lab_max = int(np.max(labels)) if labels.size else 0
+    # order of (labels - c) is the order of labels for any constant shift
+    order = np.argsort(labels.ravel(), kind="stable")
+    try:
+        ref = weakref.ref(labels, lambda _r, k=key: _SORT_MEMO.pop(k, None))
+        _SORT_MEMO[key] = (ref, lab_min, lab_max, order)
+        while len(_SORT_MEMO) > _SORT_MEMO_MAX:
+            _SORT_MEMO.pop(next(iter(_SORT_MEMO)))
+    except TypeError:
+        pass
+    return lab_min, lab_max, order
+
+
 def apply_func_to_labels(
     labels,
     *fields,
@@ -83,26 +111,35 @@ def apply_func_to_labels(
 ):
     """Multi-field / multi-return per-label comprehension (reference
     ``label_utils.py:58-140``).  ``index=None`` runs over 1..max(labels)."""
+    labels_orig = labels
     broadcast = np.broadcast_arrays(labels, *fields)
     labels = broadcast[0]
     fields = broadcast[1:]
 
+    if (
+        isinstance(labels_orig, np.ndarray)
+        and labels_orig.shape == labels.shape
+    ):
+        lab_min, lab_max, order = _label_sort_cached(labels_orig)
+    else:
+        lab_min = int(np.min(labels)) if labels.size else 0
+        lab_max = int(np.max(labels)) if labels.size else 0
+        order = np.argsort(labels.ravel(), kind="stable")
     if index is None:
-        min_label = min(int(np.min(labels)), 0)
-        n_bins = int(np.max(labels)) - min_label + 1
+        min_label = min(lab_min, 0)
+        n_bins = lab_max - min_label + 1
         index = range(1, n_bins)
     elif len(index) == 0:  # no objects at all (empty label coord)
         return np.empty(0)
     else:
-        min_label = min(int(np.min(index)) - 1, int(np.min(labels)), 0)
-        n_bins = max(int(np.max(index)), int(np.max(labels))) - min_label + 1
+        min_label = min(int(np.min(index)) - 1, lab_min, 0)
+        n_bins = max(int(np.max(index)), lab_max) - min_label + 1
     if len(index) == 0:  # empty label raster with index=None
         return np.empty(0)
 
     shifted = labels.ravel() - min_label
     counts = np.bincount(shifted, minlength=n_bins)
     starts = np.concatenate([[0], np.cumsum(counts)])
-    order = np.argsort(shifted, kind="stable")
     flat_fields = [f.ravel() for f in fields]
 
     # determine the default tuple arity by probing func on the first

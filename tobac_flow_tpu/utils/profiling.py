@@ -15,16 +15,42 @@ from datetime import datetime
 
 import jax
 
-__all__ = ["StageTimer", "trace", "time_flow"]
+__all__ = ["StageTimer", "trace", "time_flow", "release_host_memory"]
+
+
+def release_host_memory():
+    """Return freed allocator arenas to the OS (glibc holds the high-water
+    mark otherwise, inflating peak RSS across a multi-stage pipeline)."""
+    import ctypes
+    import gc
+
+    gc.collect()
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
+def _rss_gb():
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return pages * 4096 / 1e9
+    except Exception:
+        return float("nan")
 
 
 class StageTimer:
     """Collects named stage durations; blocks on device completion so the
-    numbers mean what they say under async dispatch."""
+    numbers mean what they say under async dispatch.  Also records the host
+    RSS at the end of each stage — the lever for keeping GOES-day runs
+    inside host memory."""
 
-    def __init__(self, verbose=True):
+    def __init__(self, verbose=True, trim_memory=True):
         self.stages = {}
+        self.rss = {}
         self.verbose = verbose
+        self.trim_memory = trim_memory
 
     @contextlib.contextmanager
     def stage(self, name, sync=None):
@@ -34,13 +60,23 @@ class StageTimer:
         finally:
             if sync is not None:
                 jax.block_until_ready(sync)
+            if self.trim_memory:
+                release_host_memory()
             elapsed = time.perf_counter() - start
             self.stages[name] = self.stages.get(name, 0.0) + elapsed
+            self.rss[name] = _rss_gb()
             if self.verbose:
-                print(f"{datetime.now()} [{name}] {elapsed:.3f}s", flush=True)
+                print(
+                    f"{datetime.now()} [{name}] {elapsed:.3f}s "
+                    f"rss={self.rss[name]:.2f}GB",
+                    flush=True,
+                )
 
     def summary(self):
         return dict(self.stages)
+
+    def rss_summary(self):
+        return dict(self.rss)
 
     def dump(self, path):
         with open(path, "w") as f:

@@ -167,6 +167,9 @@ def main(argv=None):
         "total_s": round(total, 2),
         "mpix_per_s": round(rate, 3),
         "stages_s": {k: round(v, 2) for k, v in timer.summary().items()},
+        "stages_rss_gb": {
+            k: round(v, 2) for k, v in timer.rss_summary().items()
+        },
         "n_cores": int(np.asarray(ds["core_label"].values).max()),
         "n_thick_anvils": int(np.asarray(ds["thick_anvil_label"].values).max()),
         "n_thin_anvils": int(np.asarray(ds["thin_anvil_label"].values).max()),

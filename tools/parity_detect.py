@@ -175,12 +175,14 @@ def parity_at(t, h, w, seed=0):
 def main():
     """Two warp modes per scene:
 
-    - ``banded``  — the TPU production path (separable banded-shift warps;
-      exact for locally smooth flow, approximate where the flow field is
-      rough — textureless noise regions where any optical flow is
-      arbitrary).
-    - ``exact``   — per-pixel 2D gathers (``ops/warp``), bitwise-faithful to
-      cv2.remap up to its 1/32 fixed-point quantisation.
+    - ``banded``  — the TPU production path: the exact 2D banded warp
+      (``ops/banded.warp_banded_exact``) — the true bilinear/cubic gather
+      factorised over the y-floor band with destination-evaluated x
+      weights, gather-free and cv2-faithful (since the round-2 separable
+      approximation cost core co-label parity on rough flow).
+    - ``exact``   — per-pixel 2D ``jnp.take`` gathers (``ops/warp``),
+      bitwise-faithful to cv2.remap up to its 1/32 fixed-point
+      quantisation; the parity instrument, not a production path.
 
     ``colabel_agreement`` isolates the watershed assignment: on pixels both
     stacks label positively, does the same basin win?  The residual IoU gap
