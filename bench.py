@@ -43,12 +43,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 REPO = Path(__file__).parent
 BASELINE_FILE = REPO / "bench_cpu_baseline.json"
-BASELINE_VERSION = 2  # bump when the scene or measured paths change
+BASELINE_VERSION = 3  # bump when the scene or measured paths change
 
 # benchmark workload (TPU): GOES-like tile (sized to single-chip HBM)
 T, H, W = 24, 1024, 1536
-# CPU baseline workload (same spatial size, fewer frames, rate extrapolates)
-T_CPU = 6
+# CPU baseline workload: the FULL TPU window (v3 retires the v2 T=6
+# extrapolation — same scene, same frame count, directly comparable rates)
+T_CPU = 24
 N_CELLS = 24
 
 

@@ -154,3 +154,34 @@ def test_warp_banded_nearest_int_labels():
     assert out.dtype == labels.dtype
     assert np.array_equal(out[:, :5], labels[:, 1:])
     assert np.all(out[:, 5] == 0)
+
+
+@pytest.mark.parametrize("method", ["linear", "cubic", "nearest"])
+def test_warp_banded_exact_multi_dyn_bounds_bit_exact(method):
+    """Traced dynamic sweep bounds skip strips no displacement touches —
+    results must be BIT-identical to the full static sweep."""
+    import jax.numpy as jnp
+    from tobac_flow_tpu.ops.banded import warp_banded_exact_multi
+
+    rng = np.random.default_rng(77)
+    img = rng.normal(0, 10, (31, 43)).astype(np.float32)
+    offsets = [(-1, -1), (0, -1), (1, 0), (0, 1), (1, 1)]
+    for lo_y, hi_y, lo_x, hi_x in [(-3.0, 2.0, -1.0, 4.0), (0.0, 0.0, 0.0, 0.0)]:
+        dy = rng.uniform(lo_y, hi_y, (31, 43)).astype(np.float32)
+        dx = rng.uniform(lo_x, hi_x, (31, 43)).astype(np.float32)
+        flow = np.stack([dx, dy], -1)
+        full = np.asarray(
+            warp_banded_exact_multi(img, flow, offsets, 21, 21, method=method)
+        )
+        db = (
+            jnp.floor(jnp.min(dy)).astype(jnp.int32),
+            jnp.ceil(jnp.max(dy)).astype(jnp.int32),
+            jnp.floor(jnp.min(dx)).astype(jnp.int32),
+            jnp.ceil(jnp.max(dx)).astype(jnp.int32),
+        )
+        dyn = np.asarray(
+            warp_banded_exact_multi(
+                img, flow, offsets, 21, 21, method=method, dyn_bounds=db
+            )
+        )
+        assert np.array_equal(full, dyn, equal_nan=True), (method, lo_y, hi_y)

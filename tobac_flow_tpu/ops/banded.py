@@ -246,6 +246,7 @@ def warp_banded_exact_multi(
     method="linear",
     fill_value=jnp.nan,
     pad_mode="constant",
+    dyn_bounds=None,
 ):
     """Exact 2D banded warp of one frame at several integer tap offsets,
     sharing ALL band slice traffic across the offsets.
@@ -258,6 +259,16 @@ def warp_banded_exact_multi(
     and each offset pays only masked FMAs.  This is the banded analogue of
     the gather path's shared union grid (``ops/warp.py:163-170``; reference
     behaviour ``tobac_flow/convolve.py:34-60``).
+
+    ``dyn_bounds`` — optional traced int32 scalars ``(dy_lo, dy_hi, dx_lo,
+    dx_hi)`` = (floor(min dy), ceil(max dy), floor(min dx), ceil(max dx))
+    over the WHOLE dispatch (e.g. a time chunk).  The strip/tap sweeps then
+    run only over the range those displacements can touch — a dynamic
+    trip-count ``fori_loop`` with no recompilation — instead of the full
+    static band.  They MUST be unbatched (computed outside any ``vmap``):
+    batched loop counters would turn the strip ``dynamic_slice`` starts into
+    gathers, the exact pathology this module exists to avoid.  Results are
+    bit-identical to the full sweep: skipped strips contribute nothing.
 
     Returns (n_offsets, ...) stacked along a new leading axis.
     """
@@ -301,6 +312,23 @@ def warp_banded_exact_multi(
     n_k = 2 * rx_eff + ntx
     my_lo = -ry_eff + tap0_y
     kx_lo = -rx_eff + tap0_x
+
+    # dynamic sweep bounds: strips can only be touched by s = idisp + offset
+    # (+ tap0 + j for interpolating taps), so the loop range shrinks to what
+    # the dispatch's actual displacements reach
+    if dyn_bounds is None:
+        m_start, m_stop = 0, n_m
+        k_start, k_stop = 0, n_k
+    else:
+        dy_lo, dy_hi, dx_lo, dx_hi = dyn_bounds
+        oy_min = min(oy for _, oy in offsets)
+        oy_max = max(oy for _, oy in offsets)
+        ox_min = min(ox for ox, _ in offsets)
+        ox_max = max(ox for ox, _ in offsets)
+        m_start = jnp.clip(dy_lo + oy_min + tap0_y - my_lo, 0, n_m)
+        m_stop = jnp.clip(dy_hi + oy_max + tap0_y + (nty - 1) - my_lo + 1, 0, n_m)
+        k_start = jnp.clip(dx_lo + ox_min + tap0_x - kx_lo, 0, n_k)
+        k_stop = jnp.clip(dx_hi + ox_max + tap0_x + (ntx - 1) - kx_lo + 1, 0, n_k)
     padded = _axis_pad(_axis_pad(img, -2, pad_y, fill_value, pad_mode),
                        -1, pad_x, fill_value, pad_mode)
     strip_shape = list(img.shape)
@@ -337,7 +365,7 @@ def warp_banded_exact_multi(
             init = tuple(
                 jnp.where(jnp.zeros((), bool), probe, a) for a in init
             )
-            return jax.lax.fori_loop(0, n_k, bx, init)
+            return jax.lax.fori_loop(k_start, k_stop, bx, init)
 
         def by(m, accs):
             s = m + my_lo
@@ -351,7 +379,7 @@ def warp_banded_exact_multi(
         init = tuple(jnp.full(img.shape, fill_value, img.dtype) for _ in offsets)
         probe = _tap(_strip(0), 0)
         init = tuple(jnp.where(jnp.zeros((), bool), probe, a) for a in init)
-        return jnp.stack(jax.lax.fori_loop(0, n_m, by, init), axis=0)
+        return jnp.stack(jax.lax.fori_loop(m_start, m_stop, by, init), axis=0)
 
     lo_y = jnp.floor(dy)
     frac_y = (dy - lo_y).astype(jnp.float32)
@@ -383,7 +411,7 @@ def warp_banded_exact_multi(
         init = tuple(
             a + jnp.where(jnp.zeros((), bool), probe, a) for a in init
         )
-        return jax.lax.fori_loop(0, n_k, bx, init)
+        return jax.lax.fori_loop(k_start, k_stop, bx, init)
 
     def by(m, accs):
         s = m + my_lo
@@ -400,7 +428,7 @@ def warp_banded_exact_multi(
     init = tuple(jnp.zeros(img.shape, fdtype) for _ in offsets)
     probe = _tap(_strip(0), 0).astype(fdtype)
     init = tuple(a + jnp.where(jnp.zeros((), bool), probe, a) for a in init)
-    return jnp.stack(jax.lax.fori_loop(0, n_m, by, init), axis=0)
+    return jnp.stack(jax.lax.fori_loop(m_start, m_stop, by, init), axis=0)
 
 
 def warp_banded(img, flow, radius=20, method="linear", fill_value=jnp.nan, pad_mode="constant"):
