@@ -128,7 +128,29 @@ def _flow_band_radii(*flows):
     return to_radius(my), to_radius(mx)
 
 
-def _warp_plane_banded(img, flow, offsets, method, fill_value, ry=21, rx=21):
+def _flow_dyn_bounds(flow):
+    """Traced (dy_lo, dy_hi, dx_lo, dx_hi) int32 bounds of a flow array.
+
+    Computed over the WHOLE array (chunk-global) so they are unbatched when
+    closed over by a per-frame ``vmap`` — the ``warp_banded_exact_multi``
+    contract.  Unclipped bounds are safe: the warp clamps its sweep range to
+    the static band, so an out-of-band displacement only widens the request,
+    never narrows it below what the clipped displacements touch."""
+    dy = flow[..., 1]
+    dx = flow[..., 0]
+    dy = jnp.where(jnp.isfinite(dy), dy, 0.0)
+    dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+    return (
+        jnp.floor(jnp.min(dy)).astype(jnp.int32),
+        jnp.ceil(jnp.max(dy)).astype(jnp.int32),
+        jnp.floor(jnp.min(dx)).astype(jnp.int32),
+        jnp.ceil(jnp.max(dx)).astype(jnp.int32),
+    )
+
+
+def _warp_plane_banded(
+    img, flow, offsets, method, fill_value, ry=21, rx=21, dyn_bounds=None
+):
     from tobac_flow_tpu.ops.banded import warp_banded, warp_banded_exact_multi
 
     if BANDED_EXACT:
@@ -142,7 +164,7 @@ def _warp_plane_banded(img, flow, offsets, method, fill_value, ry=21, rx=21):
         return warp_banded_exact_multi(
             img, flow, offsets,
             radius_y=max(1, ry - max_oy), radius_x=max(1, rx - max_ox),
-            method=method, fill_value=fill_value,
+            method=method, fill_value=fill_value, dyn_bounds=dyn_bounds,
         )
     outs = []
     for ox, oy in offsets:
@@ -194,21 +216,30 @@ def _convolve_impl(
     prev = jnp.concatenate([fill_frame, data[:-1]], axis=0)
     nxt = jnp.concatenate([data[1:], fill_frame], axis=0)
 
-    if FAST_WARP and method in ("nearest", "linear", "cubic"):
+    banded = FAST_WARP and method in ("nearest", "linear", "cubic")
+    if banded:
         plane_warp = functools.partial(
             _warp_plane_banded, ry=band_radii[0], rx=band_radii[1]
         )
+        # chunk-global traced sweep bounds (must be computed OUTSIDE the
+        # per-frame vmap): the static band covers the ±20 px flow clip, but
+        # the strips actually touched are set by this dispatch's real
+        # displacements — usually a few px
+        bwd_bounds = _flow_dyn_bounds(backward_flow) if back_taps else None
+        fwd_bounds = _flow_dyn_bounds(forward_flow) if fwd_taps else None
     else:
-        plane_warp = lambda im, fl, tp, method, fill_value: warp_plane(
-            im, fl, tp, method=method, fill_value=fill_value
+        plane_warp = lambda im, fl, tp, method, fill_value, dyn_bounds=None: (
+            warp_plane(im, fl, tp, method=method, fill_value=fill_value)
         )
+        bwd_bounds = fwd_bounds = None
 
     parts = []
     if back_taps:
         parts.append(
             jax.vmap(
                 lambda im, fl: plane_warp(
-                    im, fl, back_taps, method=method, fill_value=fill_value
+                    im, fl, back_taps, method=method, fill_value=fill_value,
+                    dyn_bounds=bwd_bounds,
                 ),
                 in_axes=(0, 0),
                 out_axes=1,
@@ -226,7 +257,8 @@ def _convolve_impl(
         parts.append(
             jax.vmap(
                 lambda im, fl: plane_warp(
-                    im, fl, fwd_taps, method=method, fill_value=fill_value
+                    im, fl, fwd_taps, method=method, fill_value=fill_value,
+                    dyn_bounds=fwd_bounds,
                 ),
                 in_axes=(0, 0),
                 out_axes=1,
