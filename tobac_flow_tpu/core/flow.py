@@ -45,8 +45,17 @@ def create_flow(
         interp_method=interp_method,
     )
     if isinstance(forward_flow, np.ndarray):
-        forward_flow = np.clip(forward_flow, -max_value, max_value)
-        backward_flow = np.clip(backward_flow, -max_value, max_value)
+        # in place: a fresh clipped copy of a spilled (disk-backed) CONUS-day
+        # flow volume would materialise ~17 GB of host RAM
+        if forward_flow.flags.writeable:
+            np.clip(forward_flow, -max_value, max_value, out=forward_flow)
+            np.clip(backward_flow, -max_value, max_value, out=backward_flow)
+            from tobac_flow_tpu.utils.blockstore import trim_pages
+
+            trim_pages(forward_flow, backward_flow)
+        else:
+            forward_flow = np.clip(forward_flow, -max_value, max_value)
+            backward_flow = np.clip(backward_flow, -max_value, max_value)
     else:
         # device-resident flows (models.FLOW_RESIDENCY_BUDGET_BYTES): clip
         # on device — np.clip would silently read the field back to host

@@ -216,6 +216,21 @@ def batch_flow(
         chunk = max(chunk, 32)  # long windows: fewer, fatter dispatches
     chunk = min(chunk, n_pairs)
 
+    if not device_resident:
+        # host-streamed: each chunk reads back immediately so neither HBM nor
+        # host RAM ever holds all pair flows at once; above the spill
+        # threshold the outputs are disk-backed with per-chunk page trims
+        # (GOES CONUS day: 2 x 17 GB of f32 flow)
+        from tobac_flow_tpu.utils.blockstore import spill_empty, trim_pages
+
+        out_shape = (t,) + data.shape[1:] + (2,)
+        out_bytes = int(np.prod(out_shape)) * 4
+        if out_bytes > (2 << 30):
+            fwd_out = spill_empty(out_shape, np.float32, "fwd_flow")
+            bwd_out = spill_empty(out_shape, np.float32, "bwd_flow")
+        else:
+            fwd_out = np.empty(out_shape, np.float32)
+            bwd_out = np.empty(out_shape, np.float32)
     f_parts = []
     b_parts = []
     for start in range(0, n_pairs, chunk):
@@ -236,13 +251,24 @@ def batch_flow(
             interp_method,
             normalisation_method,
         )
-        f_parts.append(f[:c])
-        b_parts.append(b[:c])
+        if device_resident:
+            f_parts.append(f[:c])
+            b_parts.append(b[:c])
+        else:
+            # fwd[i] = pair flow i -> i+1 for i < n_pairs;
+            # bwd[i] = pair flow i -> i-1, i.e. pair (i-1)'s backward
+            fwd_out[start:stop] = np.asarray(f[:c])
+            bwd_out[start + 1 : stop + 1] = np.asarray(b[:c])
+            if start == 0:
+                bwd_out[0] = -np.asarray(f[0])
+            if stop == n_pairs:
+                fwd_out[t - 1] = -np.asarray(b[c - 1])
+            trim_pages(fwd_out, bwd_out)
 
-    f_pairs = jnp.concatenate(f_parts, axis=0)  # pair i: frame i -> i+1
-    b_pairs = jnp.concatenate(b_parts, axis=0)
-    fwd = jnp.concatenate([f_pairs, -b_pairs[-1:]], axis=0)
-    bwd = jnp.concatenate([-f_pairs[:1], b_pairs], axis=0)
     if device_resident:
+        f_pairs = jnp.concatenate(f_parts, axis=0)  # pair i: frame i -> i+1
+        b_pairs = jnp.concatenate(b_parts, axis=0)
+        fwd = jnp.concatenate([f_pairs, -b_pairs[-1:]], axis=0)
+        bwd = jnp.concatenate([-f_pairs[:1], b_pairs], axis=0)
         return fwd, bwd
-    return np.asarray(fwd), np.asarray(bwd)
+    return fwd_out, bwd_out

@@ -241,13 +241,16 @@ def _update_flow(b1, A1, R2, flow, winsize, num_iters, resamples=None):
         g22 = _box_blur(axy * axy + ayy * ayy, winsize)
         h1 = _box_blur(axx * dbx + axy * dby, winsize)
         h2 = _box_blur(axy * dbx + ayy * dby, winsize)
-        det = g11 * g22 - g12 * g12
-        safe = jnp.abs(det) > 1e-9
-        inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
+        # Tikhonov-regularised solve, as OpenCV's FarnebackUpdateFlow_blur
+        # (optflowgf.cpp: idet = 1/(g11*g22 - g12*g12 + 1e-3)): in flat /
+        # pure-noise regions the normal matrix collapses towards zero and an
+        # unregularised inverse amplifies quantisation noise into tens of
+        # pixels of spurious displacement — measured p50 |d| 3.1 px vs cv2's
+        # 0.00 on a noisy-background scene before this term.
+        inv_det = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
         dx = (g22 * h1 - g12 * h2) * inv_det
         dy = (g11 * h2 - g12 * h1) * inv_det
-        new = jnp.stack([dx, dy], axis=-1)
-        return jnp.where(safe[..., None], new, flow)
+        return jnp.stack([dx, dy], axis=-1)
 
     # NOTE: with a frozen warp the linear solve is exact, so repeated inner
     # solves just re-add the same correction (divergent); every solve must be

@@ -33,8 +33,12 @@ sys.path.insert(0, str(REPO))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
-def make_day_scene(t, h, w, n_cells=None, seed=0):
-    """(bt, wvd, swd) ndarrays for a synthetic day of staggered storms."""
+def make_day_scene(t, h, w, n_cells=None, seed=0, out=None):
+    """(bt, wvd, swd) ndarrays for a synthetic day of staggered storms.
+
+    ``out`` — optional (bt, wvd, swd) preallocated arrays (e.g. disk-spilled
+    ``np.memmap``s at CONUS scale) written frame-by-frame so peak RSS stays
+    at the per-frame working set."""
     rng = np.random.default_rng(seed)
     if n_cells is None:
         n_cells = max(8, min(48, (h * w) // 6000))
@@ -58,9 +62,12 @@ def make_day_scene(t, h, w, n_cells=None, seed=0):
     r2inv = (1.0 / (2 * radius**2))[:, None, None]
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
 
-    bt = np.empty((t, h, w), np.float32)
-    wvd = np.empty((t, h, w), np.float32)
-    swd = np.empty((t, h, w), np.float32)
+    if out is None:
+        bt = np.empty((t, h, w), np.float32)
+        wvd = np.empty((t, h, w), np.float32)
+        swd = np.empty((t, h, w), np.float32)
+    else:
+        bt, wvd, swd = out
     for i in range(t):
         age = i - start
         g = np.clip(age / grow_f, 0.0, 1.0)
@@ -71,12 +78,9 @@ def make_day_scene(t, h, w, n_cells=None, seed=0):
         core = np.exp(-r2 * (r2inv / spread[:, None, None]))
         acc = (depth[:, None, None] * amp[:, None, None] * core).sum(0)
         acc = np.minimum(acc, 85.0)
-        bt[i] = 290.0 - acc
-        wvd[i] = -15.0 + 0.2 * acc
-        swd[i] = 5.0 - 0.06 * acc
-    bt += rng.normal(0, 0.3, bt.shape).astype(np.float32)
-    wvd += rng.normal(0, 0.2, wvd.shape).astype(np.float32)
-    swd += rng.normal(0, 0.1, swd.shape).astype(np.float32)
+        bt[i] = 290.0 - acc + rng.normal(0, 0.3, (h, w)).astype(np.float32)
+        wvd[i] = -15.0 + 0.2 * acc + rng.normal(0, 0.2, (h, w)).astype(np.float32)
+        swd[i] = 5.0 - 0.06 * acc + rng.normal(0, 0.1, (h, w)).astype(np.float32)
     return bt, wvd, swd
 
 
@@ -90,6 +94,9 @@ def main(argv=None):
     parser.add_argument("-sd", default="/tmp/bench_e2e", help="output dir")
     parser.add_argument("--no-write", action="store_true",
                         help="skip BENCH_E2E.json (exploratory runs)")
+    parser.add_argument("--spill", action="store_true",
+                        help="disk-spill the input fields (np.memmap + "
+                        "page trimming); auto-enabled above ~6 GB of fields")
     parser.add_argument("--cpu", action="store_true",
                         help="run the reference-semantics CPU op stack "
                         "(cv2 Farneback+VR flow, cv2.remap convolves, scipy "
@@ -107,16 +114,48 @@ def main(argv=None):
     from tobac_flow_tpu.utils.profiling import StageTimer
 
     t, h, w = args.t, args.y, args.x
-    cache = Path(f"/tmp/bench_e2e_scene_{t}x{h}x{w}_c{args.cells}_s{args.seed}.npz")
-    if cache.exists():
-        print(datetime.now(), "Loading cached scene", cache, flush=True)
-        z = np.load(cache)
-        bt_v, wvd_v, swd_v = z["bt"], z["wvd"], z["swd"]
+    spill = args.spill or (t * h * w * 4 * 3 > (6 << 30))
+    if spill:
+        # disk-backed fields with resident-page trimming: peak RSS tracks the
+        # per-stage working set, not the volume inventory (CONUS-day scale)
+        from tobac_flow_tpu.utils.blockstore import trim_pages
+
+        stem = Path("/tmp/tft_scenes")
+        stem.mkdir(parents=True, exist_ok=True)
+        names = ["bt", "wvd", "swd"]
+        paths = [
+            stem / f"e2e_{n}_{t}x{h}x{w}_c{args.cells}_s{args.seed}.npy"
+            for n in names
+        ]
+        if all(p.exists() for p in paths):
+            print(datetime.now(), "Opening cached spill scene", paths[0], flush=True)
+            fields = [np.lib.format.open_memmap(p, mode="r+") for p in paths]
+        else:
+            print(datetime.now(), f"Building {t}x{h}x{w} day scene (spilled)",
+                  flush=True)
+            fields = [
+                np.lib.format.open_memmap(
+                    p, mode="w+", dtype=np.float32, shape=(t, h, w)
+                )
+                for p in paths
+            ]
+            make_day_scene(t, h, w, n_cells=args.cells, seed=args.seed,
+                           out=fields)
+            trim_pages(*fields)
+        bt_v, wvd_v, swd_v = fields
     else:
-        print(datetime.now(), f"Building {t}x{h}x{w} day scene", flush=True)
-        bt_v, wvd_v, swd_v = make_day_scene(t, h, w, n_cells=args.cells,
-                                            seed=args.seed)
-        np.savez(cache, bt=bt_v, wvd=wvd_v, swd=swd_v)
+        cache = Path(
+            f"/tmp/bench_e2e_scene_{t}x{h}x{w}_c{args.cells}_s{args.seed}.npz"
+        )
+        if cache.exists():
+            print(datetime.now(), "Loading cached scene", cache, flush=True)
+            z = np.load(cache)
+            bt_v, wvd_v, swd_v = z["bt"], z["wvd"], z["swd"]
+        else:
+            print(datetime.now(), f"Building {t}x{h}x{w} day scene", flush=True)
+            bt_v, wvd_v, swd_v = make_day_scene(t, h, w, n_cells=args.cells,
+                                                seed=args.seed)
+            np.savez(cache, bt=bt_v, wvd=wvd_v, swd=swd_v)
 
     times = np.datetime64("2020-06-01T00:00:00", "ns") + np.arange(
         t
