@@ -208,3 +208,26 @@ def test_all_reference_models_selectable():
         "DIS", "DualTVL1",
     ):
         assert callable(models.select_of_model(name)), name
+
+
+def test_batch_flow_host_streamed_matches_device_resident():
+    """The host-streamed branch (chunk readbacks into preallocated outputs,
+    used above FLOW_RESIDENCY_BUDGET_BYTES) must reproduce the device
+    accumulation exactly, including the negated-opposite boundary frames."""
+    import tobac_flow_tpu.models as M
+
+    rng = np.random.default_rng(3)
+    data = np.cumsum(rng.normal(0, 1, (7, 48, 64)).astype(np.float32), 0) + 50
+    f1, b1 = M.batch_flow(data, model="Farneback", vr_steps=1,
+                          smoothing_passes=1, interp_method="cubic")
+    f1, b1 = np.asarray(f1), np.asarray(b1)
+    old = M.FLOW_RESIDENCY_BUDGET_BYTES
+    M.FLOW_RESIDENCY_BUDGET_BYTES = 0
+    try:
+        f2, b2 = M.batch_flow(data, model="Farneback", vr_steps=1,
+                              smoothing_passes=1, interp_method="cubic")
+    finally:
+        M.FLOW_RESIDENCY_BUDGET_BYTES = old
+    assert isinstance(f2, np.ndarray)
+    assert np.allclose(f1, np.asarray(f2), atol=1e-6)
+    assert np.allclose(b1, np.asarray(b2), atol=1e-6)
