@@ -221,58 +221,51 @@ def _convolve_impl(
         plane_warp = functools.partial(
             _warp_plane_banded, ry=band_radii[0], rx=band_radii[1]
         )
-        # chunk-global traced sweep bounds (must be computed OUTSIDE the
-        # per-frame vmap): the static band covers the ±20 px flow clip, but
-        # the strips actually touched are set by this dispatch's real
-        # displacements — usually a few px
-        bwd_bounds = _flow_dyn_bounds(backward_flow) if back_taps else None
-        fwd_bounds = _flow_dyn_bounds(forward_flow) if fwd_taps else None
     else:
         plane_warp = lambda im, fl, tp, method, fill_value, dyn_bounds=None: (
             warp_plane(im, fl, tp, method=method, fill_value=fill_value)
         )
-        bwd_bounds = fwd_bounds = None
 
-    parts = []
-    if back_taps:
-        parts.append(
-            jax.vmap(
-                lambda im, fl: plane_warp(
-                    im, fl, back_taps, method=method, fill_value=fill_value,
-                    dyn_bounds=bwd_bounds,
-                ),
-                in_axes=(0, 0),
-                out_axes=1,
-            )(prev, backward_flow)
-        )
-    if same_taps:
-        parts.append(
-            jax.vmap(
-                lambda im: shift_plane(im, same_taps, fill_value=fill_value),
-                in_axes=0,
-                out_axes=1,
-            )(data)
-        )
-    if fwd_taps:
-        parts.append(
-            jax.vmap(
-                lambda im, fl: plane_warp(
-                    im, fl, fwd_taps, method=method, fill_value=fill_value,
-                    dyn_bounds=fwd_bounds,
-                ),
-                in_axes=(0, 0),
-                out_axes=1,
-            )(nxt, forward_flow)
-        )
-    stacked = jnp.concatenate(parts, axis=0)  # (n_struct, T, H, W)
+    # lax.map over frames instead of vmap: (a) each frame computes its OWN
+    # traced sweep bounds — inside a map body they are unbatched scalars, so
+    # the banded warp's dynamic_slice starts stay scalar and the sweep
+    # shrinks to what THAT frame's displacements touch (a global bound is
+    # useless: one ±20 px Farneback-noise pixel anywhere in the volume
+    # saturates it); (b) peak HBM holds one frame's tap stack instead of
+    # n_taps full (T, H, W) temporaries.
+    def frame_op(args):
+        prev_i, data_i, nxt_i, fwd_i, bwd_i = args
+        parts_i = []
+        if back_taps:
+            parts_i.append(
+                plane_warp(
+                    prev_i, bwd_i, back_taps, method=method,
+                    fill_value=fill_value,
+                    dyn_bounds=_flow_dyn_bounds(bwd_i) if banded else None,
+                )
+            )
+        if same_taps:
+            parts_i.append(shift_plane(data_i, same_taps, fill_value=fill_value))
+        if fwd_taps:
+            parts_i.append(
+                plane_warp(
+                    nxt_i, fwd_i, fwd_taps, method=method,
+                    fill_value=fill_value,
+                    dyn_bounds=_flow_dyn_bounds(fwd_i) if banded else None,
+                )
+            )
+        stacked_i = jnp.concatenate(parts_i, axis=0)  # (n_struct, H, W)
+        if func is None:
+            return stacked_i
+        res_i = func(stacked_i)
+        if jnp.issubdtype(data.dtype, jnp.floating):
+            res_i = jnp.where(jnp.isnan(data_i), out_fill, res_i)
+        return res_i
 
+    out = jax.lax.map(frame_op, (prev, data, nxt, forward_flow, backward_flow))
     if func is None:
-        return stacked
-    res = func(stacked)
-    # NaN inputs force fill in the reduced output (reference convolve.py:347)
-    if jnp.issubdtype(data.dtype, jnp.floating):
-        res = jnp.where(jnp.isnan(data), out_fill, res)
-    return res
+        return jnp.moveaxis(out, 0, 1)  # (n_struct, T, H, W)
+    return out
 
 
 @functools.partial(

@@ -34,7 +34,9 @@ _FULL_STRUCTURE = np.ones((3, 3, 3), dtype=bool)
 
 
 def _magnitude(x):
-    w = (1, 1, 1)  # broadcast shape for the (27,) weights over (27, T, H, W)
+    # broadcast shape for the (27,) weights over (27, ...) — convolve applies
+    # the reduction per frame (27, H, W) or whole-volume (27, T, H, W)
+    w = (1,) * (x.ndim - 1)
     xs = jnp.where(jnp.isnan(x), 0.0, x)
     gt = jnp.sum(xs * _W_T.reshape((-1,) + w), axis=0)
     gy = jnp.sum(xs * _W_Y.reshape((-1,) + w), axis=0)

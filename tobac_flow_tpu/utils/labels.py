@@ -48,16 +48,39 @@ def labeled_comprehension(
     """Apply ``func`` to the values of ``field`` within each labelled region
     (reference ``label_utils.py:8-55``; scipy.ndimage.labeled_comprehension
     semantics). ``index=None`` applies it to every non-zero label present."""
+    field_orig, labels_orig = field, labels
     field = np.asarray(getattr(field, "values", field))
     labels = np.asarray(getattr(labels, "values", labels))
     field, labels = np.broadcast_arrays(field, labels)
     if dtype is None:
         dtype = field.dtype
-    if index is None:
-        index = np.unique(labels[labels != 0])
-    index = np.atleast_1d(np.asarray(index))
 
-    order, starts = _label_groups(np.maximum(labels, 0))
+    # reuse the identity-keyed argsort memo: the detection/schema layers run
+    # several comprehensions over the SAME day-scale label raster, and the
+    # full-volume argsort (~10 s at GOES-day size) is the whole cost
+    if (
+        isinstance(labels_orig, np.ndarray)
+        and labels.shape == labels_orig.shape
+        and np.issubdtype(labels.dtype, np.integer)
+    ):
+        lab_min, _lab_max, order = _label_sort_cached(labels_orig)
+    else:
+        lab_min = int(np.min(labels)) if labels.size else 0
+        order = np.argsort(labels.ravel(), kind="stable")
+    clipped = np.maximum(labels.ravel(), 0)
+    counts = np.bincount(clipped)
+    if lab_min < 0:
+        # negative labels sort first in the cached order; skip them (and
+        # remove them from bin 0, where the clip folded them) so
+        # order[starts[v]:starts[v+1]] indexes exactly the pixels of label v
+        n_neg = int((labels.ravel() < 0).sum())
+        order = order[n_neg:]
+        counts[0] -= n_neg
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    if index is None:
+        index = np.nonzero(counts)[0]
+        index = index[index != 0]
+    index = np.atleast_1d(np.asarray(index))
     flat_field = field.ravel()
     n_max = starts.size - 2  # largest label with counts
     out = []
