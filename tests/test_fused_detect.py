@@ -104,3 +104,26 @@ def test_fused_anvil_pre_chunked_matches_whole(scene, monkeypatch):
     assert same_nan
     ok = np.isfinite(ew)
     assert np.allclose(ew[ok], ec[ok], atol=1e-5)
+
+
+def test_fused_anvil_pre_chunked_host_stitch_matches(scene, monkeypatch):
+    """Above DEVICE_STITCH_BUDGET_BYTES the chunked outputs stitch on host —
+    values must match the device-stitched form exactly."""
+    bt, wvd, swd, flow = scene
+    markers = get_anvil_markers(
+        flow, wvd - swd, threshold=-5.0, overlap=0.5, absolute_overlap=4
+    )
+    monkeypatch.setattr(fused_mod, "BUDGET_PX", 1)
+    edges_d, seeds_d = fused_mod.fused_anvil_pre_watershed(
+        flow, wvd - swd, np.asarray(markers.values), -12.5, -5.0, 2
+    )
+    monkeypatch.setattr(fused_mod, "DEVICE_STITCH_BUDGET_BYTES", 0)
+    edges_h, seeds_h = fused_mod.fused_anvil_pre_watershed(
+        flow, wvd - swd, np.asarray(markers.values), -12.5, -5.0, 2
+    )
+    assert isinstance(edges_h, np.ndarray)
+    assert np.array_equal(np.asarray(seeds_d), seeds_h)
+    ed = np.asarray(edges_d)
+    assert np.array_equal(np.isfinite(ed), np.isfinite(edges_h))
+    ok = np.isfinite(ed)
+    assert np.allclose(ed[ok], edges_h[ok], atol=1e-6)

@@ -132,3 +132,24 @@ def test_peak_local_max_mask():
     assert not np.asarray(
         m.peak_local_max_mask(frame2, min_distance=3, threshold_abs=0.5)
     ).any()
+
+
+def test_fill_holes_multigrid_sizes_match_scipy():
+    """Sizes that trigger the multigrid flood seeding (h, w >= 16) must stay
+    bit-identical to scipy — the coarse reach only seeds provably-reachable
+    pixels, never changing the fixed point."""
+    rng = np.random.default_rng(5)
+    grid = np.abs(np.indices((3, 3, 3)) - 1).sum(axis=0) <= 1
+    for shape, p in [((6, 80, 96), 0.35), ((4, 64, 64), 0.25),
+                     ((3, 33, 47), 0.45), ((2, 128, 200), 0.55)]:
+        mask = rng.random(shape) < p
+        mask[:, 10:30, 10:40] = True
+        mask[:, 15:25, 18:32] = False
+        ours = np.asarray(m.binary_fill_holes(mask, structure=grid))
+        assert np.array_equal(ours, ndi.binary_fill_holes(mask, structure=grid))
+    s2d = np.zeros((3, 3, 3), bool)
+    s2d[1, 1, :] = True
+    s2d[1, :, 1] = True
+    mask = rng.random((5, 96, 96)) < 0.4
+    ours = np.asarray(m.binary_fill_holes(mask, structure=s2d))
+    assert np.array_equal(ours, ndi.binary_fill_holes(mask, structure=s2d))

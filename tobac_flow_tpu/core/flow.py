@@ -232,8 +232,14 @@ class Flow(AbstractFlow):
             direction=direction,
         )
 
-    def watershed(self, field, markers, mask=None, connectivity=1):
-        """Flow-aware watershed segmentation (``flow.py:236-278``)."""
+    def watershed(
+        self, field, markers, mask=None, connectivity=1, return_device=False
+    ):
+        """Flow-aware watershed segmentation (``flow.py:236-278``).
+
+        ``return_device=True`` leaves the label volume on device — the fused
+        detect chain feeds it straight into the post-watershed program with
+        no host round trip."""
         from tobac_flow_tpu.ops.watershed import watershed
 
         return watershed(
@@ -243,6 +249,7 @@ class Flow(AbstractFlow):
             markers,
             mask=mask,
             connectivity=connectivity,
+            return_device=return_device,
         )
 
     def label(

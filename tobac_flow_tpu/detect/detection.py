@@ -431,7 +431,8 @@ def detect_anvils(
             flow, field, markers, lower_threshold, upper_threshold, erode_distance
         )
         raw_labels = flow.watershed(
-            edges, eroded_markers, mask=None, connectivity=conn
+            edges, eroded_markers, mask=None, connectivity=conn,
+            return_device=True,
         )
         del edges, eroded_markers
         anvil_labels = _fused.fused_anvil_post_watershed(raw_labels, markers)

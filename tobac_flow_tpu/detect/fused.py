@@ -62,8 +62,17 @@ __all__ = [
 FUSED_DETECT = True
 
 # pixel-taps budget per fused dispatch, matching ops.convolve.BUDGET_TAP_PX's
-# role: above this the stage runs in host time-chunks with frame halos
+# role: above this the stage runs in time-chunks with frame halos.  Chunks
+# must stay WELL under the remote worker's ~30 s single-program watchdog —
+# a whole-day (288-frame) dispatch compiled fine but was watchdog-killed and
+# retried forever.  Chunk outputs are stitched on DEVICE (below
+# DEVICE_STITCH_BUDGET_BYTES), so chunking costs no host link traffic.
 BUDGET_PX = 20_000_000
+
+# combined bytes of a stage's stitched outputs below which they are
+# accumulated in HBM (jnp .at[].set per chunk) instead of host-concatenated —
+# the watershed then consumes them with zero host round trip
+DEVICE_STITCH_BUDGET_BYTES = 3 << 30
 
 
 def set_fused_detect(enabled: bool) -> bool:
@@ -427,6 +436,21 @@ def fused_anvil_pre_watershed(
     if t <= chunk + 2 * halo:
         return run(0, t)  # device-resident, feeds the watershed directly
 
+    if t * h * w * 8 <= DEVICE_STITCH_BUDGET_BYTES:
+        # stitch in HBM: the full edge/marker volumes stay device-resident
+        # across the chunk dispatches and feed the watershed with no link
+        # traffic (vs ~2x 0.5 GB down + up again at GOES-subset-day scale)
+        edges_dev = jnp.zeros((t, h, w), jnp.float32)
+        marks_dev = jnp.zeros((t, h, w), jnp.int32)
+        for s in range(0, t, chunk):
+            e = min(t, s + chunk)
+            s0, e0 = max(0, s - halo), min(t, e + halo)
+            edges, eroded = run(s0, e0)
+            edges_dev = edges_dev.at[s:e].set(edges[s - s0 : e - s0])
+            marks_dev = marks_dev.at[s:e].set(eroded[s - s0 : e - s0])
+            del edges, eroded
+        return edges_dev, marks_dev
+
     edge_parts, marker_parts = [], []
     for s in range(0, t, chunk):
         e = min(t, s + chunk)
@@ -447,5 +471,10 @@ def fused_anvil_post_watershed(anvil_labels, markers):
     labels_j = jnp.asarray(
         getattr(anvil_labels, "values", anvil_labels)
     ).astype(jnp.int32)
-    markers_j = jnp.asarray(_vals(markers)).astype(jnp.int32)
+    markers_v = _vals(markers)
+    markers_j = (
+        device_put_cached(markers_v)
+        if isinstance(markers_v, np.ndarray)
+        else jnp.asarray(markers_v)
+    ).astype(jnp.int32)
     return np.asarray(_anvil_post_jit(labels_j, markers_j))
