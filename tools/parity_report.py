@@ -86,6 +86,11 @@ def main():
             "| scene:mode | growth max diff (K/min) | cores IoU | anvil-marker IoU | thick IoU / co-label | thin IoU / co-label |",
             "|---|---|---|---|---|---|",
         ]
+        banded_core_min = min(
+            v["cores"]["mean_iou"]
+            for k, v in report.items()
+            if k.endswith(":banded")
+        )
         for key, v in report.items():
             lines.append(
                 f"| {key} | {v['growth_field_max_abs_diff']:.3f} "
@@ -96,18 +101,55 @@ def main():
             )
         lines += [
             "",
-            "Reading: in exact mode the dense growth fields match to cv2's",
-            "fixed-point quantisation and core objects are identical (IoU",
-            "1.0).  Anvil co-label agreement ~1.0 shows the watershed",
+            "Reading: the dense growth fields match cv2 to its fixed-point",
+            "quantisation and core objects are identical (IoU 1.0) in BOTH",
+            "modes — the production `banded` path is the exact 2D",
+            "bounded-displacement factorisation (ops/banded.warp_banded_exact:",
+            "both displacement components evaluated at the destination pixel,",
+            f"cv2.remap-faithful; banded cores IoU min {banded_core_min:.3f}).",
+            "`exact` is the per-pixel XLA-gather instrument it is verified",
+            "against.  Anvil co-label agreement ~1.0 shows the watershed",
             "assigns the same basin wherever both stacks label a pixel; the",
             "residual anvil IoU gap is footprint fuzz on equal-minimax-cost",
             "plateau boundaries against the -1 barrier seeds, which the",
             "serial heap resolves by push age (a tie class by construction —",
             "re-running the reference with any other heap insertion order",
-            "moves the same pixels).  Banded mode additionally degrades",
-            "core-marker thresholds in rough-flow regions: textureless noise",
-            "where the separable warp's cross-gradient bound is violated and",
-            "any optical-flow value is arbitrary.",
+            "moves the same pixels).  That degeneracy is quantified below.",
+        ]
+
+    tie_json = Path(__file__).parent.parent / "TIE_SENSITIVITY.json"
+    if tie_json.exists():
+        import json
+
+        tie = json.loads(tie_json.read_text())
+        lines += [
+            "",
+            "## Watershed tie-class sensitivity (tools/tie_sensitivity.py)",
+            "",
+            f"Scene {tie['scene']}: the C++ heap oracle re-run with",
+            f"{tie['thick_anvil']['n_perms']} seed push-order permutations",
+            "(the reference's own tie-breaking freedom,",
+            "``_watershed.pyx:308-337``), pairwise per-object IoU, vs the",
+            "TPU watershed's deviation from each oracle run.",
+            "",
+            "| stage | ref-vs-ref mean IoU (min/mean) | ref-vs-ref min-object IoU | TPU-vs-ref mean IoU (min/mean) | TPU-vs-ref min-object IoU | TPU inside ref spread |",
+            "|---|---|---|---|---|---|",
+        ]
+        for stage in ("thick_anvil", "thin_anvil"):
+            v = tie[stage]
+            lines.append(
+                f"| {stage} "
+                f"| {v['ref_vs_ref_mean_iou']['min']:.4f} / {v['ref_vs_ref_mean_iou']['mean']:.4f} "
+                f"| {v['ref_vs_ref_min_iou']:.4f} "
+                f"| {v['tpu_vs_ref_mean_iou']['min']:.4f} / {v['tpu_vs_ref_mean_iou']['mean']:.4f} "
+                f"| {v['tpu_vs_ref_min_iou']:.4f} "
+                f"| {'yes' if v['tpu_inside_ref_spread'] else 'NO'} |"
+            )
+        lines += [
+            "",
+            "If TPU-vs-ref falls inside the ref-vs-ref spread, the residual",
+            "anvil IoU gap is formally tie degeneracy — the 0.99 gate is met",
+            "up to the reference's own insertion-order freedom.",
         ]
 
     Path(__file__).parent.parent.joinpath("PARITY.md").write_text("\n".join(lines))
