@@ -57,10 +57,7 @@ def make_day_scene(t, h, w, n_cells=None, seed=0, out=None):
     start = rng.integers(0, max(t - 40, 1), n_cells)
     grow_f, mature_f, decay_f = 8, 40, 24
 
-    cy = cy[:, None, None]
-    cx = cx[:, None, None]
-    r2inv = (1.0 / (2 * radius**2))[:, None, None]
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r2inv = 1.0 / (2 * radius**2)
 
     if out is None:
         bt = np.empty((t, h, w), np.float32)
@@ -74,9 +71,25 @@ def make_day_scene(t, h, w, n_cells=None, seed=0, out=None):
         d = np.clip((age - grow_f - mature_f) / decay_f, 0.0, 1.0)
         amp = np.where(age < 0, 0.0, g * (1.0 - 0.85 * d))
         spread = 1.0 + 1.5 * np.clip(age / (grow_f + mature_f), 0.0, 1.0)
-        r2 = (xx[None] - cx - 3.0 * i) ** 2 + (yy[None] - cy - 1.5 * i) ** 2
-        core = np.exp(-r2 * (r2inv / spread[:, None, None]))
-        acc = (depth[:, None, None] * amp[:, None, None] * core).sum(0)
+        # paint each Gaussian cell into a local window only (exponent
+        # cutoff -16 → ≤2.5e-5 K truncation, 4 orders below the 0.3 K
+        # sensor noise added per frame) — the dense (n_cells, H, W) form is
+        # O(hours) at CONUS scale on one core
+        acc = np.zeros((h, w), np.float64)
+        for k in range(n_cells):
+            if amp[k] <= 0.0:
+                continue
+            scale = r2inv[k] / spread[k]
+            half = int(np.ceil(np.sqrt(16.0 / scale)))
+            yc, xc = cy[k] + 1.5 * i, cx[k] + 3.0 * i
+            y0, y1 = max(int(yc) - half, 0), min(int(yc) + half + 1, h)
+            x0, x1 = max(int(xc) - half, 0), min(int(xc) + half + 1, w)
+            if y0 >= y1 or x0 >= x1:
+                continue
+            wy = (np.arange(y0, y1, dtype=np.float64) - yc) ** 2
+            wx = (np.arange(x0, x1, dtype=np.float64) - xc) ** 2
+            r2 = wy[:, None] + wx[None, :]
+            acc[y0:y1, x0:x1] += depth[k] * amp[k] * np.exp(-r2 * scale)
         acc = np.minimum(acc, 85.0)
         bt[i] = 290.0 - acc + rng.normal(0, 0.3, (h, w)).astype(np.float32)
         wvd[i] = -15.0 + 0.2 * acc + rng.normal(0, 0.2, (h, w)).astype(np.float32)
