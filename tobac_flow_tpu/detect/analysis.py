@@ -26,9 +26,40 @@ def _vals(a):
     return np.asarray(getattr(a, "values", a))
 
 
+def _grouped_reduce(labels_orig, labels, values_fn, ufunc, empty):
+    """Per-label ``ufunc`` reduction for labels 1..max over the compressed
+    foreground (``values_fn(order) -> per-foreground values``, label-sorted).
+
+    Empty labels get ``empty``.  Requires a non-negative raster (returns
+    None otherwise so callers can fall back)."""
+    from tobac_flow_tpu.utils.labels import _label_groups_cached
+
+    groups = _label_groups_cached(labels_orig, labels)
+    if groups.base < 0:
+        return None
+    vals = values_fn(groups.order)
+    starts, counts = groups.starts, np.diff(groups.starts)
+    if vals.size == 0:
+        return np.full(max(groups.lab_max, 0), empty)
+    red = ufunc.reduceat(vals, np.minimum(starts[:-1], vals.size - 1))
+    out = np.where(counts > 0, red, empty)
+    return out[1:]  # labels 1..max (bin 0 = background, always empty here)
+
+
 def find_object_lengths(labels, axis: int = 0):
     """Extent of each label along `axis` (usually time)."""
     labels = _vals(labels)
+    if labels.ndim and np.issubdtype(labels.dtype, np.integer):
+        stride = int(np.prod(labels.shape[axis + 1 :], dtype=np.int64)) or 1
+        size_ax = labels.shape[axis]
+
+        def ax_idx(order):
+            return (order // stride) % size_ax
+
+        lo = _grouped_reduce(labels, labels, ax_idx, np.minimum, 0)
+        hi = _grouped_reduce(labels, labels, ax_idx, np.maximum, -1)
+        if lo is not None:
+            return np.where(hi >= lo, hi - lo + 1, 0)
     objs = ndi.find_objects(labels)
     return np.array(
         [o[axis].stop - o[axis].start if o is not None else 0 for o in objs]
@@ -38,19 +69,26 @@ def find_object_lengths(labels, axis: int = 0):
 def mask_labels(labels, mask):
     """Boolean per label (1..max): does the label overlap the mask?"""
     labels = _vals(labels)
-    mask = _vals(mask) != 0
+    mask_flat = (_vals(mask) != 0).ravel()
     assert (
-        labels.shape == mask.shape
+        labels.shape == _vals(mask).shape
     ), "Labels and mask parameters must have the same shape"
-    out = np.zeros(int(labels.max()) + 1, dtype=bool)
-    out[np.unique(labels[mask])] = True
-    return out[1:]
+    out = _label_any_mask(labels, mask_flat)
+    return out
 
 
 def _label_any_mask(labels, mask):
     """Per-label np.any(mask) for labels 1..max (0 where label empty)."""
+    labels = np.asarray(labels)
+    mask_flat = np.asarray(mask).ravel() != 0
+    if np.issubdtype(labels.dtype, np.integer):
+        out = _grouped_reduce(
+            labels, labels, lambda order: mask_flat[order], np.logical_or, False
+        )
+        if out is not None:
+            return out
     out = np.zeros(int(labels.max()) + 1, dtype=bool)
-    np.logical_or.at(out, labels.ravel(), np.asarray(mask).ravel() != 0)
+    np.logical_or.at(out, labels.ravel(), mask_flat)
     return out[1:]
 
 

@@ -23,6 +23,7 @@ from tobac_flow_tpu.utils.labels import (
     labeled_comprehension,
     remap_labels,
     slice_labels,
+    unique_labels,
 )
 from tobac_flow_tpu.utils.stats import find_overlap_mode
 
@@ -179,7 +180,7 @@ def add_label_coords(dataset: Dataset) -> Dataset:
         vals = set()
         for n in names:
             if n in dataset:
-                vals |= set(np.unique(_v(dataset[n])).astype(np.int64).tolist())
+                vals |= set(unique_labels(_v(dataset[n])).astype(np.int64).tolist())
         vals -= {0}
         return np.asarray(sorted(vals), dtype=np.int32)
 
@@ -239,7 +240,11 @@ def link_cores_and_anvils(
         dataset["thin_anvil_label"].values[wh] = remapped[wh]
 
     anvils = dataset.coords["anvil"]
-    anvil_core_count = np.asarray([np.sum(core_anvil_index == i) for i in anvils])
+    pos = core_anvil_index[core_anvil_index > 0].astype(np.int64)
+    counts = np.bincount(
+        pos, minlength=(int(anvils.max()) + 1 if anvils.size else 1)
+    )
+    anvil_core_count = counts[np.asarray(anvils, dtype=np.int64)]
     _add(
         dataset,
         "anvil_core_count",

@@ -16,6 +16,7 @@ import numpy as np
 __all__ = [
     "labeled_comprehension",
     "apply_func_to_labels",
+    "unique_labels",
     "flat_label",
     "make_step_labels",
     "get_step_labels_for_label",
@@ -26,14 +27,132 @@ __all__ = [
 ]
 
 
+class _LabelGroups:
+    """Foreground-compressed per-label position index.
+
+    Label rasters are overwhelmingly background (zero): grouping only the
+    nonzero pixels turns the full-volume argsort the reference's comprehension
+    pattern implies (~seconds per GOES-day raster, gigabytes of int64 order
+    indices) into a counting sort over the few-percent foreground.
+
+    ``positions(v)`` returns the raveled positions of label ``v`` in ascending
+    raster order; ``order[starts[v - base] : starts[v - base + 1]]`` is the
+    underlying contiguous slice.  The zero label's bin is empty (computed
+    lazily on request — no production caller asks for it)."""
+
+    __slots__ = ("shape", "lab_min", "lab_max", "base", "order", "starts",
+                 "fg", "_zero_pos", "_probe_pos", "_fingerprint")
+
+    def __init__(self, labels):
+        flat = labels.ravel()
+        self.shape = labels.shape
+        fg = np.flatnonzero(flat)
+        self.fg = fg  # raster-order foreground positions
+        vals = flat[fg]
+        self._probe_pos = fg[:: max(1, fg.size // 64)].copy() if fg.size else fg
+        if vals.size:
+            vmin = int(vals.min())
+            vmax = int(vals.max())
+        else:
+            vmin = vmax = 0
+        # extrema over ALL pixels: background contributes 0 when present
+        has_zero = fg.size < flat.size
+        self.lab_min = min(vmin, 0) if has_zero else vmin
+        self.lab_max = max(vmax, 0) if has_zero else vmax
+        self.base = min(vmin, 0)
+        shifted = vals - self.base
+        counts = np.bincount(shifted, minlength=vmax - self.base + 1)
+        # counting sort: radix argsort over the compressed foreground keeps
+        # equal labels in raster order (stable), composed with fg positions
+        self.order = fg[np.argsort(shifted, kind="stable")]
+        self.starts = np.concatenate([[0], np.cumsum(counts)])
+        self._zero_pos = None
+        self._fingerprint = _groups_fingerprint(flat, self._probe_pos)
+
+    def positions(self, v):
+        v = int(v)
+        if v == 0:
+            if self._zero_pos is None:
+                flat_n = int(np.prod(self.shape))
+                mask = np.ones(flat_n, dtype=bool)
+                mask[self.order] = False
+                self._zero_pos = np.flatnonzero(mask)
+            return self._zero_pos
+        b = v - self.base
+        if 0 <= b < self.starts.size - 1:
+            return self.order[self.starts[b] : self.starts[b + 1]]
+        return self.order[:0]
+
+    def count(self, v):
+        b = int(v) - self.base
+        if v != 0 and 0 <= b < self.starts.size - 1:
+            return int(self.starts[b + 1] - self.starts[b])
+        return 0
+
+    @property
+    def nonzero_values(self):
+        counts = np.diff(self.starts)
+        vals = np.flatnonzero(counts) + self.base
+        return vals[vals != 0]
+
+
+def _groups_fingerprint(flat, probe_pos):
+    # cheap staleness guard, O(samples) to verify: in-place mutation of a
+    # memoised raster (e.g. link_cores_and_anvils painting cores into the
+    # anvil volumes) must not replay stale groupings.  Two probes: the values
+    # at a strided sample of build-time foreground positions (catches
+    # relabelling/zeroing) and the nonzero count of a strided full-volume
+    # sample (catches foreground appearing in background)
+    vol_step = max(1, flat.size // 4096)
+    return (
+        int(flat[probe_pos].sum(dtype=np.int64)) if probe_pos.size else 0,
+        int(np.count_nonzero(flat[::vol_step])),
+    )
+
+
+_GROUPS_MEMO: dict = {}
+_GROUPS_MEMO_MAX = 8
+
+
+def _label_groups_cached(labels_obj, labels=None) -> _LabelGroups:
+    """Identity-keyed (fingerprint-guarded) memo of :class:`_LabelGroups`."""
+    import weakref
+
+    if labels is None:
+        labels = labels_obj
+    key = id(labels_obj)
+    ent = _GROUPS_MEMO.get(key)
+    if ent is not None and ent[0]() is labels_obj:
+        groups = ent[1]
+        flat = labels.ravel()
+        if (
+            groups.shape == labels.shape
+            and _groups_fingerprint(flat, groups._probe_pos)
+            == groups._fingerprint
+        ):
+            return groups
+        _GROUPS_MEMO.pop(key, None)
+    groups = _LabelGroups(np.asarray(labels))
+    try:
+        ref = weakref.ref(labels_obj, lambda _r, k=key: _GROUPS_MEMO.pop(k, None))
+        _GROUPS_MEMO[key] = (ref, groups)
+        while len(_GROUPS_MEMO) > _GROUPS_MEMO_MAX:
+            _GROUPS_MEMO.pop(next(iter(_GROUPS_MEMO)))
+    except TypeError:
+        pass
+    return groups
+
+
 def _label_groups(labels):
     """Sorted positions grouped by label: returns (order, starts) such that
-    positions of label v occupy order[starts[v]:starts[v+1]]."""
-    flat = labels.ravel()
-    order = np.argsort(flat, kind="stable")
-    counts = np.bincount(flat)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    return order, starts
+    positions of label v occupy order[starts[v]:starts[v+1]].
+
+    Retained for callers indexing by raw bin (including 0); positions of the
+    zero label are NOT in ``order`` (use :class:`_LabelGroups` semantics)."""
+    groups = _label_groups_cached(labels)
+    if groups.base != 0:
+        raise ValueError("_label_groups requires non-negative labels")
+    return groups.order, groups.starts
 
 
 def labeled_comprehension(
@@ -48,50 +167,45 @@ def labeled_comprehension(
     """Apply ``func`` to the values of ``field`` within each labelled region
     (reference ``label_utils.py:8-55``; scipy.ndimage.labeled_comprehension
     semantics). ``index=None`` applies it to every non-zero label present."""
-    field_orig, labels_orig = field, labels
+    labels_orig = labels
     field = np.asarray(getattr(field, "values", field))
     labels = np.asarray(getattr(labels, "values", labels))
-    field, labels = np.broadcast_arrays(field, labels)
     if dtype is None:
         dtype = field.dtype
 
-    # reuse the identity-keyed argsort memo: the detection/schema layers run
-    # several comprehensions over the SAME day-scale label raster, and the
-    # full-volume argsort (~10 s at GOES-day size) is the whole cost
-    if (
-        isinstance(labels_orig, np.ndarray)
-        and labels.shape == labels_orig.shape
-        and np.issubdtype(labels.dtype, np.integer)
-    ):
-        lab_min, _lab_max, order = _label_sort_cached(labels_orig)
-    else:
-        lab_min = int(np.min(labels)) if labels.size else 0
-        order = np.argsort(labels.ravel(), kind="stable")
-    clipped = np.maximum(labels.ravel(), 0)
-    counts = np.bincount(clipped)
-    if lab_min < 0:
-        # negative labels sort first in the cached order; skip them (and
-        # remove them from bin 0, where the clip folded them) so
-        # order[starts[v]:starts[v+1]] indexes exactly the pixels of label v
-        n_neg = int((labels.ravel() < 0).sum())
-        order = order[n_neg:]
-        counts[0] -= n_neg
-    starts = np.concatenate([[0], np.cumsum(counts)])
+    # foreground-compressed grouping, memoised by raster identity: the
+    # detection/schema layers run many comprehensions over the SAME
+    # day-scale label raster and only the few-percent nonzero pixels matter
+    groups = _label_groups_cached(labels_orig, labels)
     if index is None:
-        index = np.nonzero(counts)[0]
-        index = index[index != 0]
+        index = groups.nonzero_values
+        index = index[index > 0]
     index = np.atleast_1d(np.asarray(index))
-    flat_field = field.ravel()
-    n_max = starts.size - 2  # largest label with counts
+
+    field_b = np.broadcast_to(field, labels.shape)
+    # gather every foreground field value once (label-sorted): per-label
+    # values are then contiguous slices instead of per-label fancy gathers
+    sorted_vals = field_b[np.unravel_index(groups.order, labels.shape)]
+    starts, base = groups.starts, groups.base
+    n_bins = starts.size - 1
     out = []
     for v in index:
         v = int(v)
-        if 0 <= v <= n_max and starts[v + 1] > starts[v]:
-            pos = order[starts[v] : starts[v + 1]]
-            if pass_positions:
-                out.append(func(flat_field[pos], pos))
+        if v == 0:
+            pos = groups.positions(0)
+            if pos.size:
+                vals0 = field_b[np.unravel_index(pos, labels.shape)]
+                out.append(func(vals0, pos) if pass_positions else func(vals0))
             else:
-                out.append(func(flat_field[pos]))
+                out.append(default)
+            continue
+        b = v - base
+        if 0 <= b < n_bins and starts[b + 1] > starts[b]:
+            sl = slice(starts[b], starts[b + 1])
+            if pass_positions:
+                out.append(func(sorted_vals[sl], groups.order[sl]))
+            else:
+                out.append(func(sorted_vals[sl]))
         else:
             out.append(default)
     return np.asarray(out, dtype=dtype)
@@ -135,35 +249,37 @@ def apply_func_to_labels(
     """Multi-field / multi-return per-label comprehension (reference
     ``label_utils.py:58-140``).  ``index=None`` runs over 1..max(labels)."""
     labels_orig = labels
-    broadcast = np.broadcast_arrays(labels, *fields)
-    labels = broadcast[0]
-    fields = broadcast[1:]
-
-    if (
-        isinstance(labels_orig, np.ndarray)
-        and labels_orig.shape == labels.shape
-    ):
-        lab_min, lab_max, order = _label_sort_cached(labels_orig)
+    labels = np.asarray(getattr(labels, "values", labels))
+    fields = [np.asarray(getattr(f, "values", f)) for f in fields]
+    shape = np.broadcast_shapes(labels.shape, *[f.shape for f in fields])
+    if labels.shape != shape:
+        labels = np.broadcast_to(labels, shape)
+        groups = _LabelGroups(labels)  # broadcast raster: no identity memo
     else:
-        lab_min = int(np.min(labels)) if labels.size else 0
-        lab_max = int(np.max(labels)) if labels.size else 0
-        order = np.argsort(labels.ravel(), kind="stable")
+        groups = _label_groups_cached(labels_orig, labels)
+
     if index is None:
-        min_label = min(lab_min, 0)
-        n_bins = lab_max - min_label + 1
+        min_label = min(groups.lab_min, 0)
+        n_bins = groups.lab_max - min_label + 1
         index = range(1, n_bins)
     elif len(index) == 0:  # no objects at all (empty label coord)
         return np.empty(0)
-    else:
-        min_label = min(int(np.min(index)) - 1, lab_min, 0)
-        n_bins = max(int(np.max(index)), lab_max) - min_label + 1
     if len(index) == 0:  # empty label raster with index=None
         return np.empty(0)
 
-    shifted = labels.ravel() - min_label
-    counts = np.bincount(shifted, minlength=n_bins)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    flat_fields = [f.ravel() for f in fields]
+    # gather every foreground value of every field once (label-sorted):
+    # per-label slices are contiguous views instead of per-label gathers
+    # over full-volume (possibly broadcast) rasters
+    idx_nd = np.unravel_index(groups.order, shape)
+    sorted_fields = [np.broadcast_to(f, shape)[idx_nd] for f in fields]
+    starts, base = groups.starts, groups.base
+    n_bins_g = starts.size - 1
+
+    def group_slice(v):
+        b = int(v) - base
+        if v != 0 and 0 <= b < n_bins_g and starts[b + 1] > starts[b]:
+            return slice(starts[b], starts[b + 1])
+        return None
 
     # determine the default tuple arity by probing func on the first
     # populated label (reference label_utils.py:101-121)
@@ -172,12 +288,10 @@ def apply_func_to_labels(
         iter(default)
         assert not isinstance(default, str)
     except (TypeError, AssertionError):
-        populated = np.nonzero(counts)[0]
-        if populated.size:
-            i = populated[0]
-            probe = func(
-                *[ff[order[starts[i] : starts[i + 1]]] for ff in flat_fields]
-            )
+        nz = groups.nonzero_values
+        if nz.size:
+            sl = group_slice(nz[0])
+            probe = func(*[sf[sl] for sf in sorted_fields])
             try:
                 assert not isinstance(probe, str)
                 default_vals = [default] * len(probe)
@@ -189,13 +303,32 @@ def apply_func_to_labels(
 
     results = []
     for i in index:
-        b = i - min_label
-        if starts[b + 1] > starts[b]:
-            pos = order[starts[b] : starts[b + 1]]
-            results.append(func(*[ff[pos] for ff in flat_fields]))
+        sl = group_slice(i)
+        if sl is not None:
+            results.append(func(*[sf[sl] for sf in sorted_fields]))
+        elif i == 0 and groups.positions(0).size:
+            pos = groups.positions(0)
+            pos_nd = np.unravel_index(pos, shape)
+            results.append(
+                func(*[np.broadcast_to(f, shape)[pos_nd] for f in fields])
+            )
         else:
             results.append(default_vals)
     return np.stack(results, -1).squeeze()
+
+
+def unique_labels(labels):
+    """Sorted nonzero label values present — ``np.unique`` minus the sort:
+    non-negative integer rasters take the O(N) bincount path (a GOES-day
+    ``np.unique`` is a multi-second full-volume sort)."""
+    labels = np.asarray(getattr(labels, "values", labels))
+    if labels.size == 0:
+        return np.empty(0, dtype=labels.dtype)
+    if np.issubdtype(labels.dtype, np.integer) and labels.min() >= 0:
+        present = np.flatnonzero(np.bincount(labels.ravel()))
+        return present[present != 0].astype(labels.dtype)
+    uniq = np.unique(labels)
+    return uniq[uniq != 0]
 
 
 def flat_label(mask, structure=None, dtype=np.int32):
@@ -213,18 +346,21 @@ def make_step_labels(labels):
     connected region) gets its own id, numbered in step-label order
     (reference ``label_utils.py:183-200``)."""
     labels = np.asarray(getattr(labels, "values", labels))
-    step_labels = flat_label(labels != 0).astype(np.int64)
+    step_labels = flat_label(labels != 0)
     # combine (per-step component, original label) so one component that
     # covers two original labels splits, and renumber contiguously in
-    # (component, original label) order
-    combined = step_labels * (np.int64(labels.max()) + 1) + labels
-    combined[step_labels == 0] = 0
-    uniq, inverse = np.unique(combined, return_inverse=True)
-    lut = np.arange(uniq.size)
-    if uniq.size and uniq[0] != 0:
-        lut += 1
-    out = lut[inverse].reshape(labels.shape)
-    return out.astype(np.int32)
+    # (component, original label) order.  Only foreground pixels carry a
+    # combined key: the unique/inverse runs over the compressed foreground,
+    # not the full volume
+    fg = np.flatnonzero(step_labels.ravel())
+    combined = (
+        step_labels.ravel()[fg].astype(np.int64) * (np.int64(labels.max()) + 1)
+        + labels.ravel()[fg]
+    )
+    _uniq, inverse = np.unique(combined, return_inverse=True)
+    out = np.zeros(labels.size, dtype=np.int32)
+    out[fg] = inverse.astype(np.int32) + 1
+    return out.reshape(labels.shape)
 
 
 def get_step_labels_for_label(labels, step_labels):
@@ -232,22 +368,20 @@ def get_step_labels_for_label(labels, step_labels):
     (reference ``label_utils.py:202-235``)."""
     labels = np.asarray(labels)
     step_labels = np.asarray(step_labels)
-    order, starts = _label_groups(labels)
+    groups = _label_groups_cached(labels)
     flat_steps = step_labels.ravel()
-    return [
-        np.unique(flat_steps[order[starts[i] : starts[i + 1]]])
-        if starts[i + 1] > starts[i]
-        else None
-        for i in range(starts.size - 1)
-    ]
+    out = []
+    for v in range(groups.lab_max + 1):
+        pos = groups.positions(v)
+        out.append(np.unique(flat_steps[pos]) if pos.size else None)
+    return out
 
 
 def relabel_objects(labels, inplace=False):
     """Renumber labels to contiguous 1..N preserving order
     (reference ``label_utils.py:238-262``)."""
     labels = np.asarray(labels)
-    uniq = np.unique(labels)
-    uniq = uniq[uniq != 0]
+    uniq = unique_labels(labels)
     out = labels if inplace else np.zeros_like(labels)
     lut = np.zeros(int(labels.max()) + 1 if labels.size else 1, dtype=labels.dtype)
     lut[uniq] = np.arange(1, uniq.size + 1, dtype=labels.dtype)
@@ -281,15 +415,21 @@ def slice_labels(labels):
     """Split labels along the leading dimension keeping each label's pixels
     at a step as one id even if disconnected (reference
     ``label_utils.py:312-349``)."""
+    labels_orig = labels
     labels = np.asarray(getattr(labels, "values", labels))
-    step_max = np.max(labels, axis=tuple(range(1, labels.ndim))).astype(np.int64)
+    groups = _label_groups_cached(labels_orig, labels)
+    fg = groups.fg
+    vals = labels.ravel()[fg].astype(np.int64)
+    frame_px = int(np.prod(labels.shape[1:], dtype=np.int64)) or 1
+    t_idx = fg // frame_px
+    step_max = np.zeros(labels.shape[0], dtype=np.int64)
+    np.maximum.at(step_max, t_idx, vals)
     offsets = np.concatenate([[0], np.cumsum(step_max)[:-1]])
-    offsets = offsets.reshape((-1,) + (1,) * (labels.ndim - 1))
-    step_labels = np.where(labels != 0, labels + offsets, 0)
-    present = np.flatnonzero(np.bincount(step_labels.ravel()))
-    lut = np.zeros(int(present[-1]) + 1 if present.size else 1, dtype=np.int64)
-    lut[present] = np.arange(present.size)
-    return lut[step_labels].astype(np.int32)
+    step_vals = vals + offsets[t_idx]
+    present = np.unique(step_vals)
+    out = np.zeros(labels.size, dtype=np.int32)
+    out[fg] = np.searchsorted(present, step_vals).astype(np.int32) + 1
+    return out.reshape(labels.shape)
 
 
 def find_overlapping_labels(
