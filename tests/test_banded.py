@@ -185,3 +185,59 @@ def test_warp_banded_exact_multi_dyn_bounds_bit_exact(method):
             )
         )
         assert np.array_equal(full, dyn, equal_nan=True), (method, lo_y, hi_y)
+
+
+@pytest.mark.parametrize("method", ["nearest", "linear", "cubic"])
+def test_outlier_plan_convolve_matches_exact_gather(method):
+    """Core-band plan + point_warp_fix: smooth flow with ±19 px noise spikes
+    must match the per-pixel exact gather path bit-for-bit (the spikes land
+    outside the planned core band and ride the sparse repair)."""
+    from tobac_flow_tpu.ops import convolve as conv_fn
+    import sys
+
+    conv_mod = sys.modules["tobac_flow_tpu.ops.convolve"]
+    rng = np.random.default_rng(7)
+    t, h, w = 4, 40, 48
+    data = rng.random((t, h, w)).astype(np.float32) * 50
+    fwd = rng.normal(0, 0.6, (t, h, w, 2)).astype(np.float32)
+    bwd = rng.normal(0, 0.6, (t, h, w, 2)).astype(np.float32)
+    # scatter hard outliers into every frame of both flows
+    for arr in (fwd, bwd):
+        for i in range(t):
+            ys = rng.integers(0, h, 17)
+            xs = rng.integers(0, w, 17)
+            arr[i, ys, xs, 0] = rng.uniform(-19, 19, 17)
+            arr[i, ys, xs, 1] = rng.uniform(-19, 19, 17)
+
+    plan = conv_mod._flow_band_plan(fwd, bwd)
+    assert plan[0][0] <= 8, "outliers must not inflate the core band"
+    assert plan[1] is not None, "plan must carry fix positions"
+
+    structure = np.ones((3, 3, 3), bool)
+    banded = np.asarray(
+        conv_mod.convolve(data, fwd, bwd, structure=structure, method=method)
+    )
+    prev = conv_mod.set_fast_warp(False)
+    try:
+        exact = np.asarray(
+            conv_mod.convolve(data, fwd, bwd, structure=structure, method=method)
+        )
+    finally:
+        conv_mod.set_fast_warp(prev)
+    both = np.isfinite(exact) & np.isfinite(banded)
+    assert np.array_equal(np.isfinite(exact), np.isfinite(banded))
+    # fp accumulation order differs between the banded and gather paths
+    # (precedent: test_warp_banded_exact_matches_gather_on_rough_flow)
+    np.testing.assert_allclose(banded[both], exact[both], rtol=0, atol=3e-4)
+
+    # vs the full ±21 band with no repair: BIT-exact — non-outlier pixels
+    # share the accumulation order, outliers reproduce it in the point fix
+    taps = conv_mod.structure_taps(structure)
+    full = np.asarray(
+        conv_mod._convolve_jit(
+            data.astype(np.float32) if method != "nearest" else data,
+            fwd, bwd, taps, method, np.nan, None, np.float32,
+            (True, True), (21, 21), None, None,
+        )
+    )
+    np.testing.assert_array_equal(banded, full)

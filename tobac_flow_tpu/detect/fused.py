@@ -34,7 +34,7 @@ import numpy as np
 from tobac_flow_tpu.ops import convolve as _conv_fn  # function (module shadowed)
 from tobac_flow_tpu.ops.convolve import (
     _convolve_impl,
-    _flow_band_radii,
+    _flow_band_plan,
     structure_taps,
 )
 from tobac_flow_tpu.ops.morphology import (
@@ -202,22 +202,26 @@ def _peak_filter_j(field, direction, sigma=0.5, min_distance=10):
     return _binary_morph(border, _DISK_OFFS, 1, 0, "dilate")
 
 
-def _channel_filter_j(field, direction, fwd, bwd, radii):
+def _channel_filter_j(field, direction, fwd, bwd, radii, ffix, bfix):
     """curvature|peak, tracked ±1 frame along the flow (nearest taps)."""
     curv = _curvature_filter_j(field, direction)
     peak = _peak_filter_j(field, direction)
     either = (curv | peak).astype(jnp.int32)
-    return _convolve_impl(either, fwd, bwd, _T_TAPS, "nearest", 0, _any0, 0, radii)
+    return _convolve_impl(
+        either, fwd, bwd, _T_TAPS, "nearest", 0, _any0, 0, radii, ffix, bfix
+    )
 
 
-def _growth_rate_j(field, fwd, bwd, dt, radii):
+def _growth_rate_j(field, fwd, bwd, dt, radii, ffix, bfix):
     """detection.py:131-138 traced: semi-Lagrangian diff/min, flow-smoothed."""
     diff = _convolve_impl(
-        field, fwd, bwd, _T_TAPS, "cubic", jnp.nan, _diff_func, jnp.nan, radii
+        field, fwd, bwd, _T_TAPS, "cubic", jnp.nan, _diff_func, jnp.nan, radii,
+        ffix, bfix,
     )
     growth = diff / dt
     return _convolve_impl(
-        growth, fwd, bwd, _S2D_TAPS, "cubic", jnp.nan, _nanmean0, jnp.nan, radii
+        growth, fwd, bwd, _S2D_TAPS, "cubic", jnp.nan, _nanmean0, jnp.nan, radii,
+        ffix, bfix,
     )
 
 
@@ -227,14 +231,14 @@ def _growth_rate_j(field, fwd, bwd, dt, radii):
 )
 def _core_markers_jit(
     bt, wvd, swd, fwd, bwd, dt, wvd_threshold, bt_threshold, use_wvd, band_radii,
-    warp_mode, interior,
+    warp_mode, interior, ffix=None, bfix=None,
 ):
     del warp_mode  # jit-key only: FAST_WARP/BANDED_EXACT read at trace time
     r = band_radii
     i0, i1 = interior
-    bt_filter = _channel_filter_j(bt, "positive", fwd, bwd, r)
+    bt_filter = _channel_filter_j(bt, "positive", fwd, bwd, r, ffix, bfix)
     if use_wvd:
-        wvd_filter = _channel_filter_j(wvd, "negative", fwd, bwd, r)
+        wvd_filter = _channel_filter_j(wvd, "negative", fwd, bwd, r, ffix, bfix)
         combined = (bt_filter != 0) | (wvd_filter != 0)
     else:
         combined = bt_filter != 0
@@ -245,10 +249,10 @@ def _core_markers_jit(
     swd_filter = 1.0 - _linearise_j(swd, 2.5, 7.5)
     combined_filter = combined.astype(jnp.float32) * swd_filter
 
-    bt_growth = _growth_rate_j(-bt, fwd, bwd, dt, r)
+    bt_growth = _growth_rate_j(-bt, fwd, bwd, dt, r, ffix, bfix)
     bt_markers = (bt_growth * combined_filter) > bt_threshold
     if use_wvd:
-        wvd_growth = _growth_rate_j(wvd, fwd, bwd, dt, r)
+        wvd_growth = _growth_rate_j(wvd, fwd, bwd, dt, r, ffix, bfix)
         wvd_markers = (wvd_growth * combined_filter) > wvd_threshold
         merged = wvd_markers | bt_markers
     else:
@@ -269,7 +273,8 @@ def _core_markers_jit(
     ),
 )
 def _anvil_pre_jit(
-    field, markers, fwd, bwd, lower, upper, erode_distance, band_radii, warp_mode
+    field, markers, fwd, bwd, lower, upper, erode_distance, band_radii, warp_mode,
+    ffix=None, bfix=None,
 ):
     del warp_mode
     f = _linearise_j(field, lower, upper)
@@ -283,7 +288,7 @@ def _anvil_pre_jit(
     eroded = jnp.where(mask, -1, eroded)
     edges = _convolve_impl(
         f, fwd, bwd, _FULL_TAPS, "cubic", jnp.nan, _sobel_func_uphill, jnp.nan,
-        band_radii,
+        band_radii, ffix, bfix,
     )
     edges = edges + (edges > 0)
     edges = edges - f
@@ -364,7 +369,9 @@ def fused_core_markers(
     dt = np.asarray(
         get_time_diff_from_coord(bt.t), dtype=np.float32
     )[:, np.newaxis, np.newaxis]
-    radii = _flow_band_radii(flow.forward_flow, flow.backward_flow)
+    radii, fwd_pos, bwd_pos = _flow_band_plan(
+        flow.forward_flow, flow.backward_flow
+    )
     t, h, w = bt_v.shape
     chunk = _chunk_t(t, h, w)
     halo = 1  # deepest temporal stencil: one ±1-frame tracked convolve
@@ -390,6 +397,8 @@ def fused_core_markers(
             radii,
             _warp_mode_key(),
             (s - s0, e - s0),
+            None if fwd_pos is None else _maybe_cached(fwd_pos, s0, e0, t),
+            None if bwd_pos is None else _maybe_cached(bwd_pos, s0, e0, t),
         )
         pieces.append(np.asarray(m))
         bt_area += int(ab)
@@ -415,7 +424,9 @@ def fused_anvil_pre_watershed(
     host round trip."""
     field_v = _vals(field)
     markers_v = np.ascontiguousarray(_vals(markers).astype(np.int32))
-    radii = _flow_band_radii(flow.forward_flow, flow.backward_flow)
+    radii, fwd_pos, bwd_pos = _flow_band_plan(
+        flow.forward_flow, flow.backward_flow
+    )
     t, h, w = field_v.shape
     chunk = _chunk_t(t, h, w, per_px_cost=64)
     halo = max(1, int(erode_distance))
@@ -431,6 +442,8 @@ def fused_anvil_pre_watershed(
             int(erode_distance),
             radii,
             _warp_mode_key(),
+            None if fwd_pos is None else _maybe_cached(fwd_pos, s0, e0, t),
+            None if bwd_pos is None else _maybe_cached(bwd_pos, s0, e0, t),
         )
 
     if t <= chunk + 2 * halo:

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 __all__ = [
     "banded_gather_axis",
     "banded_warp_axis",
+    "point_warp_fix",
     "warp_banded",
     "warp_banded_exact",
     "warp_banded_exact_multi",
@@ -429,6 +430,82 @@ def warp_banded_exact_multi(
     probe = _tap(_strip(0), 0).astype(fdtype)
     init = tuple(a + jnp.where(jnp.zeros((), bool), probe, a) for a in init)
     return jnp.stack(jax.lax.fori_loop(m_start, m_stop, by, init), axis=0)
+
+
+def point_warp_fix(planes, img, flow, offsets, pos, method, fill_value):
+    """Exact sparse repair of a banded warp's out-of-band pixels.
+
+    ``planes`` — (n_offsets, H, W) output of ``warp_banded_exact_multi`` (or
+    the separable path) whose displacements were clipped to the core band;
+    ``pos`` — (K,) raveled frame positions needing repair (-1 padded).  Each
+    position is re-warped per-pixel — floor + the method's taps, constant
+    ``fill_value`` outside the frame, zero-weight taps skipped — reproducing
+    the banded kernel's accumulation order bit-exactly, then scattered back.
+    K-point XLA gathers/scatters are cheap; the pathological TPU gather path
+    is only the full-volume form (module docstring).
+    """
+    h, w = img.shape[-2:]
+    valid = pos >= 0
+    p = jnp.maximum(pos, 0)
+    py = p // w
+    px = p % w
+    d = flow[py, px]
+    dx = d[..., 0]
+    dy = d[..., 1]
+
+    if method == "nearest":
+        tap0 = 0
+        nt = 1
+        wfn = None
+        iy0 = jnp.round(dy).astype(jnp.int32)
+        ix0 = jnp.round(dx).astype(jnp.int32)
+    else:
+        if method == "linear":
+            tap0, nt = 0, 2
+            wfn = lambda f: [1.0 - f, f]
+        elif method == "cubic":
+            from tobac_flow_tpu.ops.warp import _cubic_weights
+
+            tap0, nt = -1, 4
+            wfn = _cubic_weights
+        else:
+            raise ValueError("method must be 'nearest', 'linear' or 'cubic'")
+        lo_y = jnp.floor(dy)
+        lo_x = jnp.floor(dx)
+        wys = wfn((dy - lo_y).astype(jnp.float32))
+        wxs = wfn((dx - lo_x).astype(jnp.float32))
+        iy0 = lo_y.astype(jnp.int32)
+        ix0 = lo_x.astype(jnp.int32)
+
+    fdtype = (
+        img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+    )
+    fill = jnp.asarray(fill_value).astype(img.dtype)
+
+    def sample(ty, tx):
+        inb = (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w)
+        v = img[jnp.clip(ty, 0, h - 1), jnp.clip(tx, 0, w - 1)]
+        return jnp.where(inb, v, fill)
+
+    fixed = []
+    for ox, oy in offsets:
+        if method == "nearest":
+            val = sample(py + iy0 + int(oy), px + ix0 + int(ox))
+        else:
+            val = jnp.zeros(p.shape, fdtype)
+            for i in range(nt):
+                xsum = jnp.zeros(p.shape, fdtype)
+                for j in range(nt):
+                    tap = sample(
+                        py + iy0 + int(oy) + tap0 + i,
+                        px + ix0 + int(ox) + tap0 + j,
+                    ).astype(fdtype)
+                    xsum = xsum + jnp.where(wxs[j] == 0.0, 0.0, wxs[j] * tap)
+                val = val + jnp.where(wys[i] == 0.0, 0.0, wys[i] * xsum)
+        fixed.append(val.astype(planes.dtype))
+    new = jnp.stack(fixed, axis=0)
+    old = planes[:, py, px]
+    return planes.at[:, py, px].set(jnp.where(valid, new, old))
 
 
 def warp_banded(img, flow, radius=20, method="linear", fill_value=jnp.nan, pad_mode="constant"):

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tobac_flow_tpu.ops.banded import point_warp_fix
 from tobac_flow_tpu.ops.warp import shift_plane, warp_plane
 from tobac_flow_tpu.utils.device_cache import device_put_cached
 
@@ -128,6 +129,141 @@ def _flow_band_radii(*flows):
     return to_radius(my), to_radius(mx)
 
 
+# Core-band plan: the banded warp's fori sweep costs O(band_y x band_x) tiny
+# sequential iterations per frame, and ONE ±20 px Farneback-noise vector per
+# frame saturates a max-based radius (the measured e2e profile spent ~420 s
+# in radius-21 sweeps warping fields whose 99.9% displacement was <3 px).
+# Instead: size the band to cover all but <= PLAN_K_CAP pixels per frame and
+# repair those exactly with static-K point gathers (K-point XLA gathers are
+# cheap — only full-volume gathers hit the pathological path).
+_PLAN_MEMO: dict = {}
+_PLAN_MAX_ENTRIES = 4
+PLAN_K_CAP = 4096
+
+
+@jax.jit
+def _dev_flow_mag(flow):
+    m = jnp.abs(flow).max(axis=-1)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    return m.reshape(flow.shape[0], -1)
+
+
+@jax.jit
+def _dev_exceed_counts(m_f, m_b):
+    """max-over-frames count of displacements above r, for r = 2..20."""
+    out = []
+    for r in range(2, 21):
+        c = jnp.maximum((m_f > r).sum(axis=1), (m_b > r).sum(axis=1))
+        out.append(c.max())
+    return jnp.stack(out)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _dev_outlier_pos(m, r, k):
+    vals, idx = jax.lax.top_k(m, k)
+    return jnp.where(vals > r, idx.astype(jnp.int32), -1)
+
+
+def _flow_band_plan(forward_flow, backward_flow):
+    """((ry, rx), fwd_pos, bwd_pos): core band radii + per-frame raveled
+    positions of each flow's out-of-band pixels ((T, K) int32, -1 padded;
+    both None when the band covers every displacement).
+
+    The core radius r is the smallest integer with at most PLAN_K_CAP
+    pixels per frame displaced beyond it (99.9…th percentile by
+    construction); the band is r + 1 so structure-tap offsets (always
+    within ±1 for (3,3,3) structures) stay in band.  Pixels with
+    max(|dx|, |dy|) > r are exact-repaired by ``ops.banded.point_warp_fix``
+    — results are bit-identical to a full ±21 band."""
+    import weakref
+
+    key = (id(forward_flow), id(backward_flow))
+    ent = _PLAN_MEMO.get(key)
+    if ent is not None and ent[0]() is forward_flow and ent[1]() is backward_flow:
+        return ent[2]
+
+    host = isinstance(forward_flow, np.ndarray)
+    t = forward_flow.shape[0]
+    hw = int(np.prod(forward_flow.shape[1:-1], dtype=np.int64))
+    k_cap = min(PLAN_K_CAP, max(hw - 1, 1))
+
+    if host:
+        def mag(arr):
+            m = np.abs(np.asarray(arr)).max(axis=-1)
+            return np.where(np.isfinite(m), m, 0.0).reshape(t, -1)
+
+        m_f, m_b = mag(forward_flow), mag(backward_flow)
+        # per-frame k_cap-th largest displacement: everything above it is an
+        # outlier candidate; one partition pass instead of a histogram sweep
+        thresh = 0.0
+        for m in (m_f, m_b):
+            part = np.partition(m, hw - k_cap - 1, axis=1)[:, hw - k_cap - 1]
+            thresh = max(thresh, float(part.max()))
+        r = int(min(20, max(2, np.ceil(thresh + 1e-3))))
+        radii = (r + 1, r + 1)
+
+        def positions(m):
+            wh = m > r
+            counts = wh.sum(axis=1)
+            k_max = int(counts.max())
+            if k_max == 0:
+                return None, 0
+            pos = np.full((t, k_max), -1, dtype=np.int32)
+            for i in np.flatnonzero(counts):
+                p = np.flatnonzero(wh[i])
+                pos[i, : p.size] = p
+            return pos, k_max
+
+        fwd_pos, kf = positions(m_f)
+        bwd_pos, kb = positions(m_b)
+        if kf or kb:
+            # shared static K (next power of two) so both fix arrays and the
+            # chunked drivers' slices hit one compiled program shape
+            k = 1 << int(np.ceil(np.log2(max(kf, kb, 1))))
+
+            def padk(pos):
+                out = np.full((t, k), -1, dtype=np.int32)
+                if pos is not None:
+                    out[:, : pos.shape[1]] = pos
+                return out
+
+            fwd_pos, bwd_pos = padk(fwd_pos), padk(bwd_pos)
+    else:
+        # device-resident flows: threshold counts + top_k on device, small
+        # readbacks only (pulling a GOES-day flow volume over the link to
+        # plan on host would cost more than the band it saves)
+        m_f = _dev_flow_mag(forward_flow)
+        m_b = _dev_flow_mag(backward_flow)
+        counts = np.asarray(_dev_exceed_counts(m_f, m_b))  # (19,) max over t
+        r = 20
+        for i, rr in enumerate(range(2, 21)):
+            if counts[i] <= k_cap:
+                r = rr
+                break
+        radii = (r + 1, r + 1)
+        fwd_pos = bwd_pos = None
+        n_out = int(counts[r - 2]) if r <= 20 and (r - 2) < counts.size else 0
+        if r == 20:
+            n_out = 0  # flow is clipped to ±20 upstream: full band, no tail
+        if n_out > 0:
+            k = 1 << int(np.ceil(np.log2(max(n_out, 1))))
+            k = min(k, hw)
+            fwd_pos = _dev_outlier_pos(m_f, float(r), k)
+            bwd_pos = _dev_outlier_pos(m_b, float(r), k)
+    plan = (radii, fwd_pos, bwd_pos)
+    try:
+        refs = (
+            weakref.ref(forward_flow, lambda _r, k=key: _PLAN_MEMO.pop(k, None)),
+            weakref.ref(backward_flow, lambda _r, k=key: _PLAN_MEMO.pop(k, None)),
+        )
+        _PLAN_MEMO[key] = (refs[0], refs[1], plan)
+        while len(_PLAN_MEMO) > _PLAN_MAX_ENTRIES:
+            _PLAN_MEMO.pop(next(iter(_PLAN_MEMO)))
+    except TypeError:
+        pass
+    return plan
+
+
 def _flow_dyn_bounds(flow):
     """Traced (dy_lo, dy_hi, dx_lo, dx_hi) int32 bounds of a flow array.
 
@@ -208,7 +344,7 @@ def structure_taps(structure):
 
 def _convolve_impl(
     data, forward_flow, backward_flow, taps, method, fill_value, func, out_fill,
-    band_radii=(21, 21),
+    band_radii=(21, 21), fwd_fix=None, bwd_fix=None,
 ):
     back_taps, same_taps, fwd_taps = taps
     t, h, w = data.shape
@@ -225,6 +361,11 @@ def _convolve_impl(
         plane_warp = lambda im, fl, tp, method, fill_value, dyn_bounds=None: (
             warp_plane(im, fl, tp, method=method, fill_value=fill_value)
         )
+        fwd_fix = bwd_fix = None
+
+    # the t±1 warped planes sample the NEXT/PREV frame: fix positions of the
+    # flow at frame i repair taps of that shifted frame
+    fix = fwd_fix is not None
 
     # lax.map over frames instead of vmap: (a) each frame computes its OWN
     # traced sweep bounds — inside a map body they are unbatched scalars, so
@@ -232,28 +373,39 @@ def _convolve_impl(
     # shrinks to what THAT frame's displacements touch (a global bound is
     # useless: one ±20 px Farneback-noise pixel anywhere in the volume
     # saturates it); (b) peak HBM holds one frame's tap stack instead of
-    # n_taps full (T, H, W) temporaries.
+    # n_taps full (T, H, W) temporaries.  Out-of-band displacements (the
+    # core-band plan's tail, _flow_band_plan) are exact-repaired per frame
+    # with K-point gathers (point_warp_fix).
     def frame_op(args):
-        prev_i, data_i, nxt_i, fwd_i, bwd_i = args
+        if fix:
+            prev_i, data_i, nxt_i, fwd_i, bwd_i, ffix_i, bfix_i = args
+        else:
+            prev_i, data_i, nxt_i, fwd_i, bwd_i = args
         parts_i = []
         if back_taps:
-            parts_i.append(
-                plane_warp(
-                    prev_i, bwd_i, back_taps, method=method,
-                    fill_value=fill_value,
-                    dyn_bounds=_flow_dyn_bounds(bwd_i) if banded else None,
-                )
+            plane = plane_warp(
+                prev_i, bwd_i, back_taps, method=method,
+                fill_value=fill_value,
+                dyn_bounds=_flow_dyn_bounds(bwd_i) if banded else None,
             )
+            if fix:
+                plane = point_warp_fix(
+                    plane, prev_i, bwd_i, back_taps, bfix_i, method, fill_value
+                )
+            parts_i.append(plane)
         if same_taps:
             parts_i.append(shift_plane(data_i, same_taps, fill_value=fill_value))
         if fwd_taps:
-            parts_i.append(
-                plane_warp(
-                    nxt_i, fwd_i, fwd_taps, method=method,
-                    fill_value=fill_value,
-                    dyn_bounds=_flow_dyn_bounds(fwd_i) if banded else None,
-                )
+            plane = plane_warp(
+                nxt_i, fwd_i, fwd_taps, method=method,
+                fill_value=fill_value,
+                dyn_bounds=_flow_dyn_bounds(fwd_i) if banded else None,
             )
+            if fix:
+                plane = point_warp_fix(
+                    plane, nxt_i, fwd_i, fwd_taps, ffix_i, method, fill_value
+                )
+            parts_i.append(plane)
         stacked_i = jnp.concatenate(parts_i, axis=0)  # (n_struct, H, W)
         if func is None:
             return stacked_i
@@ -262,7 +414,10 @@ def _convolve_impl(
             res_i = jnp.where(jnp.isnan(data_i), out_fill, res_i)
         return res_i
 
-    out = jax.lax.map(frame_op, (prev, data, nxt, forward_flow, backward_flow))
+    mapped = (prev, data, nxt, forward_flow, backward_flow)
+    if fix:
+        mapped = mapped + (fwd_fix, bwd_fix)
+    out = jax.lax.map(frame_op, mapped)
     if func is None:
         return jnp.moveaxis(out, 0, 1)  # (n_struct, T, H, W)
     return out
@@ -274,11 +429,11 @@ def _convolve_impl(
 )
 def _convolve_jit(
     data, forward_flow, backward_flow, taps, method, fill_value, func, out_dtype,
-    fast_warp, band_radii,
+    fast_warp, band_radii, fwd_fix=None, bwd_fix=None,
 ):
     out = _convolve_impl(
         data, forward_flow, backward_flow, taps, method, fill_value, func, fill_value,
-        band_radii,
+        band_radii, fwd_fix, bwd_fix,
     )
     return out.astype(out_dtype)
 
@@ -363,8 +518,12 @@ def convolve(
         work = data.astype(jnp.float32)
 
     band_radii = (21, 21)
+    fwd_fix = bwd_fix = None
     if FAST_WARP and method in ("nearest", "linear", "cubic"):
-        band_radii = _flow_band_radii(forward_flow, backward_flow)
+        band_radii, fwd_pos, bwd_pos = _flow_band_plan(forward_flow, backward_flow)
+        if fwd_pos is not None:
+            fwd_fix = device_put_cached(fwd_pos)
+            bwd_fix = device_put_cached(bwd_pos)
 
     return _convolve_jit(
         work,
@@ -378,4 +537,6 @@ def convolve(
         # part of the jit key so toggling retriggers compilation
         (FAST_WARP, BANDED_EXACT),
         band_radii,
+        fwd_fix,
+        bwd_fix,
     )

@@ -95,18 +95,19 @@ def main():
     timed(det, "mask_labels")
     timed(det, "remap_labels")
 
-    # flow-band radii report
+    # flow-band plan report
     import tobac_flow_tpu.ops.convolve  # noqa: F401  (module import)
     conv_mod = sys.modules["tobac_flow_tpu.ops.convolve"]
-    orig_radii = conv_mod._flow_band_radii
+    orig_plan = conv_mod._flow_band_plan
 
-    def radii_report(*flows):
-        r = orig_radii(*flows)
-        ACC[f"band_radii={r}"][1] += 1
-        return r
+    def plan_report(*flows):
+        radii, fpos, bpos = orig_plan(*flows)
+        k = 0 if fpos is None else fpos.shape[1]
+        ACC[f"band_radii={radii} fix_k={k}"][1] += 1
+        return radii, fpos, bpos
 
-    conv_mod._flow_band_radii = radii_report
-    fused._flow_band_radii = radii_report
+    conv_mod._flow_band_plan = plan_report
+    fused._flow_band_plan = plan_report
 
     timer = StageTimer(verbose=True)
     opts = DetectionOptions(save_label_props=False, save_field_props=False)
