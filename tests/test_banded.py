@@ -189,11 +189,12 @@ def test_warp_banded_exact_multi_dyn_bounds_bit_exact(method):
 
 @pytest.mark.parametrize("method", ["nearest", "linear", "cubic"])
 def test_outlier_plan_convolve_matches_exact_gather(method):
-    """Core-band plan + point_warp_fix: smooth flow with ±19 px noise spikes
+    """Per-frame plan + point_warp_fix: smooth flow with ±19 px noise spikes
     must match the per-pixel exact gather path bit-for-bit (the spikes land
-    outside the planned core band and ride the sparse repair)."""
-    from tobac_flow_tpu.ops import convolve as conv_fn
+    outside the planned per-frame sweep bounds and ride the sparse repair)."""
     import sys
+
+    import jax.numpy as jnp
 
     conv_mod = sys.modules["tobac_flow_tpu.ops.convolve"]
     rng = np.random.default_rng(7)
@@ -209,14 +210,20 @@ def test_outlier_plan_convolve_matches_exact_gather(method):
             arr[i, ys, xs, 0] = rng.uniform(-19, 19, 17)
             arr[i, ys, xs, 1] = rng.uniform(-19, 19, 17)
 
-    plan = conv_mod._flow_band_plan(fwd, bwd)
-    assert plan[0][0] <= 8, "outliers must not inflate the core band"
-    assert plan[1] is not None, "plan must carry fix positions"
+    # the traced per-frame plan must bound the sweep below the outliers and
+    # carry their positions in the repair tail
+    bounds, pos = conv_mod._flow_frame_plan(jnp.asarray(fwd[0]), 64)
+    assert int(bounds[1]) <= 8, "outliers must not inflate the sweep bounds"
+    assert int((np.asarray(pos) >= 0).sum()) >= 17
 
     structure = np.ones((3, 3, 3), bool)
-    banded = np.asarray(
-        conv_mod.convolve(data, fwd, bwd, structure=structure, method=method)
-    )
+    prev_k = conv_mod.set_plan_frame_k(64)
+    try:
+        banded = np.asarray(
+            conv_mod.convolve(data, fwd, bwd, structure=structure, method=method)
+        )
+    finally:
+        conv_mod.set_plan_frame_k(prev_k)
     prev = conv_mod.set_fast_warp(False)
     try:
         exact = np.asarray(
@@ -230,14 +237,14 @@ def test_outlier_plan_convolve_matches_exact_gather(method):
     # (precedent: test_warp_banded_exact_matches_gather_on_rough_flow)
     np.testing.assert_allclose(banded[both], exact[both], rtol=0, atol=3e-4)
 
-    # vs the full ±21 band with no repair: BIT-exact — non-outlier pixels
-    # share the accumulation order, outliers reproduce it in the point fix
-    taps = conv_mod.structure_taps(structure)
-    full = np.asarray(
-        conv_mod._convolve_jit(
-            data.astype(np.float32) if method != "nearest" else data,
-            fwd, bwd, taps, method, np.nan, None, np.float32,
-            (True, True), (21, 21), None, None,
+    # vs the plan-disabled banded path (per-frame signed min/max bounds =
+    # every displacement swept): BIT-exact — in-bounds pixels share the
+    # accumulation order, outliers reproduce it in the point fix
+    prev_k = conv_mod.set_plan_frame_k(0)
+    try:
+        full = np.asarray(
+            conv_mod.convolve(data, fwd, bwd, structure=structure, method=method)
         )
-    )
+    finally:
+        conv_mod.set_plan_frame_k(prev_k)
     np.testing.assert_array_equal(banded, full)

@@ -249,12 +249,15 @@ def run_detection(
     if opts.save_field_props:
         from tobac_flow_tpu.detect.analysis import weighted_statistics_on_labels
 
+        bt_shape = np.asarray(bt.values).shape
         if "area" in dataset:
-            weights = np.repeat(
-                np.asarray(dataset["area"].values)[np.newaxis], len(bt.values), 0
+            weights = np.broadcast_to(
+                np.asarray(dataset["area"].values)[np.newaxis], bt_shape
             )
         else:
-            weights = np.ones_like(bt.values)
+            weights = np.broadcast_to(
+                np.ones((), dtype=np.asarray(bt.values).dtype), bt_shape
+            )
         with stage("field_props"):
             for field in (bt, wvd, swd):
                 for labels, name, dim in [

@@ -34,7 +34,6 @@ import numpy as np
 from tobac_flow_tpu.ops import convolve as _conv_fn  # function (module shadowed)
 from tobac_flow_tpu.ops.convolve import (
     _convolve_impl,
-    _flow_band_plan,
     structure_taps,
 )
 from tobac_flow_tpu.ops.morphology import (
@@ -202,43 +201,38 @@ def _peak_filter_j(field, direction, sigma=0.5, min_distance=10):
     return _binary_morph(border, _DISK_OFFS, 1, 0, "dilate")
 
 
-def _channel_filter_j(field, direction, fwd, bwd, radii, ffix, bfix):
+def _channel_filter_j(field, direction, fwd, bwd):
     """curvature|peak, tracked ±1 frame along the flow (nearest taps)."""
     curv = _curvature_filter_j(field, direction)
     peak = _peak_filter_j(field, direction)
     either = (curv | peak).astype(jnp.int32)
-    return _convolve_impl(
-        either, fwd, bwd, _T_TAPS, "nearest", 0, _any0, 0, radii, ffix, bfix
-    )
+    return _convolve_impl(either, fwd, bwd, _T_TAPS, "nearest", 0, _any0, 0)
 
 
-def _growth_rate_j(field, fwd, bwd, dt, radii, ffix, bfix):
+def _growth_rate_j(field, fwd, bwd, dt):
     """detection.py:131-138 traced: semi-Lagrangian diff/min, flow-smoothed."""
     diff = _convolve_impl(
-        field, fwd, bwd, _T_TAPS, "cubic", jnp.nan, _diff_func, jnp.nan, radii,
-        ffix, bfix,
+        field, fwd, bwd, _T_TAPS, "cubic", jnp.nan, _diff_func, jnp.nan
     )
     growth = diff / dt
     return _convolve_impl(
-        growth, fwd, bwd, _S2D_TAPS, "cubic", jnp.nan, _nanmean0, jnp.nan, radii,
-        ffix, bfix,
+        growth, fwd, bwd, _S2D_TAPS, "cubic", jnp.nan, _nanmean0, jnp.nan
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_wvd", "band_radii", "warp_mode", "interior"),
+    static_argnames=("use_wvd", "warp_mode", "interior"),
 )
 def _core_markers_jit(
-    bt, wvd, swd, fwd, bwd, dt, wvd_threshold, bt_threshold, use_wvd, band_radii,
-    warp_mode, interior, ffix=None, bfix=None,
+    bt, wvd, swd, fwd, bwd, dt, wvd_threshold, bt_threshold, use_wvd,
+    warp_mode, interior,
 ):
-    del warp_mode  # jit-key only: FAST_WARP/BANDED_EXACT read at trace time
-    r = band_radii
+    del warp_mode  # jit-key only: warp globals are read at trace time
     i0, i1 = interior
-    bt_filter = _channel_filter_j(bt, "positive", fwd, bwd, r, ffix, bfix)
+    bt_filter = _channel_filter_j(bt, "positive", fwd, bwd)
     if use_wvd:
-        wvd_filter = _channel_filter_j(wvd, "negative", fwd, bwd, r, ffix, bfix)
+        wvd_filter = _channel_filter_j(wvd, "negative", fwd, bwd)
         combined = (bt_filter != 0) | (wvd_filter != 0)
     else:
         combined = bt_filter != 0
@@ -249,10 +243,10 @@ def _core_markers_jit(
     swd_filter = 1.0 - _linearise_j(swd, 2.5, 7.5)
     combined_filter = combined.astype(jnp.float32) * swd_filter
 
-    bt_growth = _growth_rate_j(-bt, fwd, bwd, dt, r, ffix, bfix)
+    bt_growth = _growth_rate_j(-bt, fwd, bwd, dt)
     bt_markers = (bt_growth * combined_filter) > bt_threshold
     if use_wvd:
-        wvd_growth = _growth_rate_j(wvd, fwd, bwd, dt, r, ffix, bfix)
+        wvd_growth = _growth_rate_j(wvd, fwd, bwd, dt)
         wvd_markers = (wvd_growth * combined_filter) > wvd_threshold
         merged = wvd_markers | bt_markers
     else:
@@ -268,13 +262,10 @@ def _core_markers_jit(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "lower", "upper", "erode_distance", "band_radii", "warp_mode"
-    ),
+    static_argnames=("lower", "upper", "erode_distance", "warp_mode"),
 )
 def _anvil_pre_jit(
-    field, markers, fwd, bwd, lower, upper, erode_distance, band_radii, warp_mode,
-    ffix=None, bfix=None,
+    field, markers, fwd, bwd, lower, upper, erode_distance, warp_mode,
 ):
     del warp_mode
     f = _linearise_j(field, lower, upper)
@@ -287,8 +278,7 @@ def _anvil_pre_jit(
     mask = mask | wh_nan
     eroded = jnp.where(mask, -1, eroded)
     edges = _convolve_impl(
-        f, fwd, bwd, _FULL_TAPS, "cubic", jnp.nan, _sobel_func_uphill, jnp.nan,
-        band_radii, ffix, bfix,
+        f, fwd, bwd, _FULL_TAPS, "cubic", jnp.nan, _sobel_func_uphill, jnp.nan
     )
     edges = edges + (edges > 0)
     edges = edges - f
@@ -326,7 +316,7 @@ def _warp_mode_key():
     import sys
 
     m = sys.modules["tobac_flow_tpu.ops.convolve"]
-    return (m.FAST_WARP, m.BANDED_EXACT)
+    return (m.FAST_WARP, m.BANDED_EXACT, m.PLAN_FRAME_K)
 
 
 # whole-field device residency budget for the chunked drivers: below this
@@ -369,9 +359,6 @@ def fused_core_markers(
     dt = np.asarray(
         get_time_diff_from_coord(bt.t), dtype=np.float32
     )[:, np.newaxis, np.newaxis]
-    radii, fwd_pos, bwd_pos = _flow_band_plan(
-        flow.forward_flow, flow.backward_flow
-    )
     t, h, w = bt_v.shape
     chunk = _chunk_t(t, h, w)
     halo = 1  # deepest temporal stencil: one ±1-frame tracked convolve
@@ -394,11 +381,8 @@ def fused_core_markers(
             jnp.float32(wvd_threshold),
             jnp.float32(bt_threshold),
             use_wvd,
-            radii,
             _warp_mode_key(),
             (s - s0, e - s0),
-            None if fwd_pos is None else _maybe_cached(fwd_pos, s0, e0, t),
-            None if bwd_pos is None else _maybe_cached(bwd_pos, s0, e0, t),
         )
         pieces.append(np.asarray(m))
         bt_area += int(ab)
@@ -424,9 +408,6 @@ def fused_anvil_pre_watershed(
     host round trip."""
     field_v = _vals(field)
     markers_v = np.ascontiguousarray(_vals(markers).astype(np.int32))
-    radii, fwd_pos, bwd_pos = _flow_band_plan(
-        flow.forward_flow, flow.backward_flow
-    )
     t, h, w = field_v.shape
     chunk = _chunk_t(t, h, w, per_px_cost=64)
     halo = max(1, int(erode_distance))
@@ -440,10 +421,7 @@ def fused_anvil_pre_watershed(
             float(lower_threshold),
             float(upper_threshold),
             int(erode_distance),
-            radii,
             _warp_mode_key(),
-            None if fwd_pos is None else _maybe_cached(fwd_pos, s0, e0, t),
-            None if bwd_pos is None else _maybe_cached(bwd_pos, s0, e0, t),
         )
 
     if t <= chunk + 2 * halo:

@@ -36,6 +36,7 @@ __all__ = [
     "FAST_WARP",
     "set_fast_warp",
     "set_banded_exact",
+    "set_plan_frame_k",
 ]
 
 # When True (default), nearest/linear/cubic flow-warps use the banded-shift
@@ -129,139 +130,63 @@ def _flow_band_radii(*flows):
     return to_radius(my), to_radius(mx)
 
 
-# Core-band plan: the banded warp's fori sweep costs O(band_y x band_x) tiny
-# sequential iterations per frame, and ONE ±20 px Farneback-noise vector per
-# frame saturates a max-based radius (the measured e2e profile spent ~420 s
-# in radius-21 sweeps warping fields whose 99.9% displacement was <3 px).
-# Instead: size the band to cover all but <= PLAN_K_CAP pixels per frame and
-# repair those exactly with static-K point gathers (K-point XLA gathers are
-# cheap — only full-volume gathers hit the pathological path).
-_PLAN_MEMO: dict = {}
-_PLAN_MAX_ENTRIES = 4
-PLAN_K_CAP = 4096
+# Per-frame traced band plan: the banded warp's fori sweep costs
+# O(band_y x band_x) tiny sequential iterations per frame, and a handful of
+# ±20 px Farneback-noise vectors per frame saturate any min/max-based sweep
+# bound (the measured e2e profile burned ~420 s in radius-21 sweeps warping
+# fields whose typical displacement was <3 px).  Inside each frame's map
+# body, ONE top_k over the displacement magnitude yields both (a) dynamic
+# sweep bounds covering all but the top-K displacements and (b) the raveled
+# positions of that top-K tail, which ``point_warp_fix`` then repairs
+# exactly with K-point gathers (K-point XLA gathers are cheap — only
+# full-volume gathers hit the pathological path).  Results are
+# bit-identical to a full-band sweep; quiet frames sweep a few strips,
+# turbulent (pre-storm pure-noise) frames degrade gracefully to wide
+# sweeps of only themselves.  0 disables the tail plan (sweep bounds then
+# come from each frame's signed min/max displacement — still dynamic,
+# still exact, but one outlier pixel widens its whole frame's sweep).
+PLAN_FRAME_K = 1024
 
 
-@jax.jit
-def _dev_flow_mag(flow):
-    m = jnp.abs(flow).max(axis=-1)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)
-    return m.reshape(flow.shape[0], -1)
+def set_plan_frame_k(k: int) -> int:
+    """Set the per-frame outlier-repair budget (0 disables the tail plan).
+
+    A function for the same module-shadowing reason as ``set_fast_warp``.
+    Returns the previous value.
+    """
+    global PLAN_FRAME_K
+    prev = PLAN_FRAME_K
+    PLAN_FRAME_K = int(k)
+    return prev
 
 
-@jax.jit
-def _dev_exceed_counts(m_f, m_b):
-    """max-over-frames count of displacements above r, for r = 2..20."""
-    out = []
-    for r in range(2, 21):
-        c = jnp.maximum((m_f > r).sum(axis=1), (m_b > r).sum(axis=1))
-        out.append(c.max())
-    return jnp.stack(out)
+def _flow_frame_plan(flow, k):
+    """Traced ((dy_lo, dy_hi, dx_lo, dx_hi), pos) for ONE frame's flow:
+    sweep bounds covering every displacement except the top-``k`` magnitudes,
+    whose raveled positions are returned (-1 where the tail is already
+    inside the bounds).  Must run unbatched (inside ``lax.map``).
 
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def _dev_outlier_pos(m, r, k):
+    The bounds are the intersection of the signed min/max displacement range
+    with ±ceil(k-th largest magnitude): every pixel displaced outside them
+    has magnitude strictly above the k-th largest and therefore appears in
+    ``pos`` — the swept band plus the point repair covers every pixel
+    exactly."""
+    dy = flow[..., 1]
+    dx = flow[..., 0]
+    dy = jnp.where(jnp.isfinite(dy), dy, 0.0)
+    dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+    m = jnp.maximum(jnp.abs(dy), jnp.abs(dx)).ravel()
     vals, idx = jax.lax.top_k(m, k)
-    return jnp.where(vals > r, idx.astype(jnp.int32), -1)
-
-
-def _flow_band_plan(forward_flow, backward_flow):
-    """((ry, rx), fwd_pos, bwd_pos): core band radii + per-frame raveled
-    positions of each flow's out-of-band pixels ((T, K) int32, -1 padded;
-    both None when the band covers every displacement).
-
-    The core radius r is the smallest integer with at most PLAN_K_CAP
-    pixels per frame displaced beyond it (99.9…th percentile by
-    construction); the band is r + 1 so structure-tap offsets (always
-    within ±1 for (3,3,3) structures) stay in band.  Pixels with
-    max(|dx|, |dy|) > r are exact-repaired by ``ops.banded.point_warp_fix``
-    — results are bit-identical to a full ±21 band."""
-    import weakref
-
-    key = (id(forward_flow), id(backward_flow))
-    ent = _PLAN_MEMO.get(key)
-    if ent is not None and ent[0]() is forward_flow and ent[1]() is backward_flow:
-        return ent[2]
-
-    host = isinstance(forward_flow, np.ndarray)
-    t = forward_flow.shape[0]
-    hw = int(np.prod(forward_flow.shape[1:-1], dtype=np.int64))
-    k_cap = min(PLAN_K_CAP, max(hw - 1, 1))
-
-    if host:
-        def mag(arr):
-            m = np.abs(np.asarray(arr)).max(axis=-1)
-            return np.where(np.isfinite(m), m, 0.0).reshape(t, -1)
-
-        m_f, m_b = mag(forward_flow), mag(backward_flow)
-        # per-frame k_cap-th largest displacement: everything above it is an
-        # outlier candidate; one partition pass instead of a histogram sweep
-        thresh = 0.0
-        for m in (m_f, m_b):
-            part = np.partition(m, hw - k_cap - 1, axis=1)[:, hw - k_cap - 1]
-            thresh = max(thresh, float(part.max()))
-        r = int(min(20, max(2, np.ceil(thresh + 1e-3))))
-        radii = (r + 1, r + 1)
-
-        def positions(m):
-            wh = m > r
-            counts = wh.sum(axis=1)
-            k_max = int(counts.max())
-            if k_max == 0:
-                return None, 0
-            pos = np.full((t, k_max), -1, dtype=np.int32)
-            for i in np.flatnonzero(counts):
-                p = np.flatnonzero(wh[i])
-                pos[i, : p.size] = p
-            return pos, k_max
-
-        fwd_pos, kf = positions(m_f)
-        bwd_pos, kb = positions(m_b)
-        if kf or kb:
-            # shared static K (next power of two) so both fix arrays and the
-            # chunked drivers' slices hit one compiled program shape
-            k = 1 << int(np.ceil(np.log2(max(kf, kb, 1))))
-
-            def padk(pos):
-                out = np.full((t, k), -1, dtype=np.int32)
-                if pos is not None:
-                    out[:, : pos.shape[1]] = pos
-                return out
-
-            fwd_pos, bwd_pos = padk(fwd_pos), padk(bwd_pos)
-    else:
-        # device-resident flows: threshold counts + top_k on device, small
-        # readbacks only (pulling a GOES-day flow volume over the link to
-        # plan on host would cost more than the band it saves)
-        m_f = _dev_flow_mag(forward_flow)
-        m_b = _dev_flow_mag(backward_flow)
-        counts = np.asarray(_dev_exceed_counts(m_f, m_b))  # (19,) max over t
-        r = 20
-        for i, rr in enumerate(range(2, 21)):
-            if counts[i] <= k_cap:
-                r = rr
-                break
-        radii = (r + 1, r + 1)
-        fwd_pos = bwd_pos = None
-        n_out = int(counts[r - 2]) if r <= 20 and (r - 2) < counts.size else 0
-        if r == 20:
-            n_out = 0  # flow is clipped to ±20 upstream: full band, no tail
-        if n_out > 0:
-            k = 1 << int(np.ceil(np.log2(max(n_out, 1))))
-            k = min(k, hw)
-            fwd_pos = _dev_outlier_pos(m_f, float(r), k)
-            bwd_pos = _dev_outlier_pos(m_b, float(r), k)
-    plan = (radii, fwd_pos, bwd_pos)
-    try:
-        refs = (
-            weakref.ref(forward_flow, lambda _r, k=key: _PLAN_MEMO.pop(k, None)),
-            weakref.ref(backward_flow, lambda _r, k=key: _PLAN_MEMO.pop(k, None)),
-        )
-        _PLAN_MEMO[key] = (refs[0], refs[1], plan)
-        while len(_PLAN_MEMO) > _PLAN_MAX_ENTRIES:
-            _PLAN_MEMO.pop(next(iter(_PLAN_MEMO)))
-    except TypeError:
-        pass
-    return plan
+    r_thresh = vals[-1]
+    r_dyn = jnp.ceil(r_thresh).astype(jnp.int32)
+    bounds = (
+        jnp.maximum(jnp.floor(jnp.min(dy)).astype(jnp.int32), -r_dyn),
+        jnp.minimum(jnp.ceil(jnp.max(dy)).astype(jnp.int32), r_dyn),
+        jnp.maximum(jnp.floor(jnp.min(dx)).astype(jnp.int32), -r_dyn),
+        jnp.minimum(jnp.ceil(jnp.max(dx)).astype(jnp.int32), r_dyn),
+    )
+    pos = jnp.where(vals > r_thresh, idx.astype(jnp.int32), -1)
+    return bounds, pos
 
 
 def _flow_dyn_bounds(flow):
@@ -344,7 +269,7 @@ def structure_taps(structure):
 
 def _convolve_impl(
     data, forward_flow, backward_flow, taps, method, fill_value, func, out_fill,
-    band_radii=(21, 21), fwd_fix=None, bwd_fix=None,
+    band_radii=(21, 21),
 ):
     back_taps, same_taps, fwd_taps = taps
     t, h, w = data.shape
@@ -361,11 +286,12 @@ def _convolve_impl(
         plane_warp = lambda im, fl, tp, method, fill_value, dyn_bounds=None: (
             warp_plane(im, fl, tp, method=method, fill_value=fill_value)
         )
-        fwd_fix = bwd_fix = None
 
-    # the t±1 warped planes sample the NEXT/PREV frame: fix positions of the
-    # flow at frame i repair taps of that shifted frame
-    fix = fwd_fix is not None
+    # the separable two-pass path (BANDED_EXACT=False) has no dynamic-bound
+    # sweep and the point fix would mix exact-2D semantics into it — the
+    # per-frame plan only serves the exact banded kernel
+    plan_k = max(1, min(int(PLAN_FRAME_K), h * w)) if PLAN_FRAME_K else 0
+    plan = banded and BANDED_EXACT and plan_k > 0
 
     # lax.map over frames instead of vmap: (a) each frame computes its OWN
     # traced sweep bounds — inside a map body they are unbatched scalars, so
@@ -373,39 +299,35 @@ def _convolve_impl(
     # shrinks to what THAT frame's displacements touch (a global bound is
     # useless: one ±20 px Farneback-noise pixel anywhere in the volume
     # saturates it); (b) peak HBM holds one frame's tap stack instead of
-    # n_taps full (T, H, W) temporaries.  Out-of-band displacements (the
-    # core-band plan's tail, _flow_band_plan) are exact-repaired per frame
-    # with K-point gathers (point_warp_fix).
-    def frame_op(args):
-        if fix:
-            prev_i, data_i, nxt_i, fwd_i, bwd_i, ffix_i, bfix_i = args
+    # n_taps full (T, H, W) temporaries.  The top-K displacement tail beyond
+    # each frame's planned bounds (_flow_frame_plan) is exact-repaired with
+    # K-point gathers (point_warp_fix).
+    def warp_part(img_i, flow_i, part_taps):
+        if plan:
+            bounds, pos = _flow_frame_plan(flow_i, plan_k)
+        elif banded:
+            bounds, pos = _flow_dyn_bounds(flow_i), None
         else:
-            prev_i, data_i, nxt_i, fwd_i, bwd_i = args
+            bounds, pos = None, None
+        plane = plane_warp(
+            img_i, flow_i, part_taps, method=method, fill_value=fill_value,
+            dyn_bounds=bounds,
+        )
+        if pos is not None:
+            plane = point_warp_fix(
+                plane, img_i, flow_i, part_taps, pos, method, fill_value
+            )
+        return plane
+
+    def frame_op(args):
+        prev_i, data_i, nxt_i, fwd_i, bwd_i = args
         parts_i = []
         if back_taps:
-            plane = plane_warp(
-                prev_i, bwd_i, back_taps, method=method,
-                fill_value=fill_value,
-                dyn_bounds=_flow_dyn_bounds(bwd_i) if banded else None,
-            )
-            if fix:
-                plane = point_warp_fix(
-                    plane, prev_i, bwd_i, back_taps, bfix_i, method, fill_value
-                )
-            parts_i.append(plane)
+            parts_i.append(warp_part(prev_i, bwd_i, back_taps))
         if same_taps:
             parts_i.append(shift_plane(data_i, same_taps, fill_value=fill_value))
         if fwd_taps:
-            plane = plane_warp(
-                nxt_i, fwd_i, fwd_taps, method=method,
-                fill_value=fill_value,
-                dyn_bounds=_flow_dyn_bounds(fwd_i) if banded else None,
-            )
-            if fix:
-                plane = point_warp_fix(
-                    plane, nxt_i, fwd_i, fwd_taps, ffix_i, method, fill_value
-                )
-            parts_i.append(plane)
+            parts_i.append(warp_part(nxt_i, fwd_i, fwd_taps))
         stacked_i = jnp.concatenate(parts_i, axis=0)  # (n_struct, H, W)
         if func is None:
             return stacked_i
@@ -414,10 +336,7 @@ def _convolve_impl(
             res_i = jnp.where(jnp.isnan(data_i), out_fill, res_i)
         return res_i
 
-    mapped = (prev, data, nxt, forward_flow, backward_flow)
-    if fix:
-        mapped = mapped + (fwd_fix, bwd_fix)
-    out = jax.lax.map(frame_op, mapped)
+    out = jax.lax.map(frame_op, (prev, data, nxt, forward_flow, backward_flow))
     if func is None:
         return jnp.moveaxis(out, 0, 1)  # (n_struct, T, H, W)
     return out
@@ -429,11 +348,11 @@ def _convolve_impl(
 )
 def _convolve_jit(
     data, forward_flow, backward_flow, taps, method, fill_value, func, out_dtype,
-    fast_warp, band_radii, fwd_fix=None, bwd_fix=None,
+    fast_warp, band_radii,
 ):
     out = _convolve_impl(
         data, forward_flow, backward_flow, taps, method, fill_value, func, fill_value,
-        band_radii, fwd_fix, bwd_fix,
+        band_radii,
     )
     return out.astype(out_dtype)
 
@@ -518,12 +437,10 @@ def convolve(
         work = data.astype(jnp.float32)
 
     band_radii = (21, 21)
-    fwd_fix = bwd_fix = None
-    if FAST_WARP and method in ("nearest", "linear", "cubic"):
-        band_radii, fwd_pos, bwd_pos = _flow_band_plan(forward_flow, backward_flow)
-        if fwd_pos is not None:
-            fwd_fix = device_put_cached(fwd_pos)
-            bwd_fix = device_put_cached(bwd_pos)
+    if FAST_WARP and method in ("nearest", "linear", "cubic") and not BANDED_EXACT:
+        # the separable path has no dynamic sweep bounds: shrink its static
+        # band to the measured max displacement instead
+        band_radii = _flow_band_radii(forward_flow, backward_flow)
 
     return _convolve_jit(
         work,
@@ -535,8 +452,6 @@ def convolve(
         func,
         out_dtype,
         # part of the jit key so toggling retriggers compilation
-        (FAST_WARP, BANDED_EXACT),
+        (FAST_WARP, BANDED_EXACT, PLAN_FRAME_K),
         band_radii,
-        fwd_fix,
-        bwd_fix,
     )

@@ -500,7 +500,7 @@ def calculate_label_properties(dataset: Dataset) -> None:
     if "area" in dataset:
         areas = np.broadcast_to(_v(dataset["area"]), shape)
     else:
-        areas = np.ones(shape)
+        areas = np.broadcast_to(np.ones((), np.float64), shape)
     lat = _v(dataset["lat"]) if "lat" in dataset else None
     lon = _v(dataset["lon"]) if "lon" in dataset else None
     t_coord = dataset.coords["t"]

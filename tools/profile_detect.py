@@ -95,19 +95,8 @@ def main():
     timed(det, "mask_labels")
     timed(det, "remap_labels")
 
-    # flow-band plan report
-    import tobac_flow_tpu.ops.convolve  # noqa: F401  (module import)
-    conv_mod = sys.modules["tobac_flow_tpu.ops.convolve"]
-    orig_plan = conv_mod._flow_band_plan
-
-    def plan_report(*flows):
-        radii, fpos, bpos = orig_plan(*flows)
-        k = 0 if fpos is None else fpos.shape[1]
-        ACC[f"band_radii={radii} fix_k={k}"][1] += 1
-        return radii, fpos, bpos
-
-    conv_mod._flow_band_plan = plan_report
-    fused._flow_band_plan = plan_report
+    # (the per-frame sweep plan is traced inside each frame's map body —
+    # ops.convolve._flow_frame_plan — so there is no host plan to report)
 
     timer = StageTimer(verbose=True)
     opts = DetectionOptions(save_label_props=False, save_field_props=False)
