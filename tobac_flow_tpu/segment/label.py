@@ -19,28 +19,149 @@ serial graph walk.  Step 4 uses scipy's connected_components.
 
 from __future__ import annotations
 
+import functools
+import sys
 import warnings
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sparse
 import scipy.sparse.csgraph as csgraph
 
 from tobac_flow_tpu.ops.ccl import flat_label
-from tobac_flow_tpu.ops.convolve import DEFAULT_STRUCTURE, convolve
+from tobac_flow_tpu.ops.convolve import (
+    DEFAULT_STRUCTURE,
+    _convolve_impl,
+    convolve,
+    structure_taps,
+)
 
 __all__ = ["flow_label", "flow_link_overlap", "link_labels_by_overlap"]
+
+# keys per device program for the on-device overlap histogram: bounds the
+# on-device sort (inside jnp.unique) well under the ~30 s XLA program
+# watchdog and the chunk working set in HBM
+_PAIR_CHUNK_PX = 16_000_000
+# unique-pair capacity per program; doubled-by-4 on saturation (recompile)
+_PAIR_CAP = 4096
+_PAIR_CAP_MAX = 1 << 20
+
+
+def _label_struct_taps(structure):
+    """Temporal-plane centre taps of ``structure`` for label warping
+    (reference ``label.py:133-137``: t±1 planes carry one centre tap each)."""
+    structure = np.asarray(structure)
+    label_struct = structure * np.array([1, 0, 1])[:, np.newaxis, np.newaxis]
+    if (
+        np.count_nonzero(label_struct[0]) != 1
+        or np.count_nonzero(label_struct[2]) != 1
+    ):
+        raise ValueError(
+            "structure must have exactly the centre tap in its temporal planes"
+        )
+    return label_struct
+
+
+def _warp_mode_key():
+    m = sys.modules["tobac_flow_tpu.ops.convolve"]
+    return (m.FAST_WARP, m.BANDED_EXACT, m.PLAN_FRAME_K)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("taps", "n_cap", "lo", "hi", "mode")
+)
+def _pair_hist_jit(labels, fwd, bwd, nplus1, taps, n_cap, lo, hi, mode):
+    """Unique (a·(n+1)+b) overlap keys and counts over interior frames
+    [lo, hi) for both warp directions, entirely on device.
+
+    ``labels`` is the (chunk+halo, H, W) integer label raster; the warped
+    neighbour volumes never leave the device — only the ≤ ``n_cap`` unique
+    foreground pair keys and their pixel counts do (the full histogram the
+    overlap thresholds of reference ``label_utils.py:352-376`` consume)."""
+    del mode  # jit cache key only: the warp kernel reads convolve globals
+    warped = _convolve_impl(labels, fwd, bwd, taps, "nearest", 0, None, 0)
+    a = labels[lo:hi].astype(jnp.int32)
+    outs = []
+    for d in range(2):  # 0 = backward-warped, 1 = forward-warped
+        b = warped[d, lo:hi].astype(jnp.int32)
+        # int32 keys: the driver guarantees (n+1)^2 fits (x64 is disabled,
+        # so a jnp "int64" would silently wrap at 2^31 anyway)
+        key = jnp.where((a > 0) & (b > 0), a * jnp.int32(nplus1) + b, 0)
+        uniq, counts = jnp.unique(
+            key.ravel(), size=n_cap, fill_value=0, return_counts=True
+        )
+        outs.append((uniq, counts))
+    return outs
+
+
+def _overlap_pair_hists_device(flow, flat_labels, structure, nplus1):
+    """Per-direction {pair-key: overlap count} dicts, computed on device.
+
+    Replaces the full warped-label downloads of ``_warped_neighbour_labels``
+    (2 × the volume over the host link) with per-chunk unique-pair
+    histograms — identical counts, ~KBs of readback.  Returns
+    (back_hist, forward_hist) or None when a chunk's pair count exceeds
+    ``_PAIR_CAP_MAX`` (caller falls back to the host path)."""
+    if nplus1 * nplus1 > np.iinfo(np.int32).max:
+        return None  # pair keys would wrap int32 (x64 is disabled under jit)
+    taps = structure_taps(_label_struct_taps(structure))
+    t, h, w = flat_labels.shape
+    chunk_t = max(4, _PAIR_CHUNK_PX // max(h * w, 1))
+    fwd_all = flow.forward_flow
+    bwd_all = flow.backward_flow
+    mode = _warp_mode_key()
+    hists = [{}, {}]
+    n_cap = _PAIR_CAP
+    for s in range(0, t, chunk_t):
+        e = min(t, s + chunk_t)
+        s0, e0 = max(0, s - 1), min(t, e + 1)
+        lab = jnp.asarray(flat_labels[s0:e0])
+        fw = jnp.asarray(fwd_all[s0:e0])
+        bw = jnp.asarray(bwd_all[s0:e0])
+        chunk_px = (e - s) * h * w
+        while True:
+            res = jax.device_get(
+                _pair_hist_jit(
+                    lab, fw, bw, nplus1, taps, n_cap, s - s0, e - s0, mode
+                )
+            )
+            # complete iff every pixel's key was counted: unique() silently
+            # truncates to the smallest `size` keys when the cap is exceeded
+            if all(int(c.astype(np.int64).sum()) == chunk_px for _, c in res):
+                break
+            n_cap *= 4  # saturated: some pairs were truncated — recompile
+            if n_cap > _PAIR_CAP_MAX:
+                return None
+        live = [(u > 0) & (c > 0) for u, c in res]
+        for d in range(2):
+            u, c = res[d]
+            m = live[d]
+            hd = hists[d]
+            for k, v in zip(u[m].tolist(), c[m].tolist()):
+                hd[k] = hd.get(k, 0) + v
+    return hists
+
+
+def _edges_from_hist(hist, sizes, overlap, absolute_overlap):
+    """Apply the overlap thresholds (reference ``label_utils.py:352-376``)
+    to a {a·n+b: count} histogram."""
+    if not hist:
+        return np.empty((0, 2), dtype=np.int64)
+    keys = np.fromiter(hist.keys(), dtype=np.int64, count=len(hist))
+    counts = np.fromiter(hist.values(), dtype=np.int64, count=len(hist))
+    n = sizes.size
+    ua = keys // n
+    ub = keys % n
+    min_size = np.minimum(sizes[ua], sizes[ub])
+    ok = (counts > absolute_overlap) & (counts >= overlap * min_size)
+    return np.stack([ua[ok], ub[ok]], axis=-1)
 
 
 def _warped_neighbour_labels(flow, flat_labels, structure, dtype):
     """Warp the label raster to the previous/next timestep positions
     (reference ``label.py:133-137``): returns (back_labels, forward_labels)."""
-    structure = np.asarray(structure)
-    label_struct = structure * np.array([1, 0, 1])[:, np.newaxis, np.newaxis]
-    # the temporal planes must carry exactly the centre tap each
-    if np.count_nonzero(label_struct[0]) != 1 or np.count_nonzero(label_struct[2]) != 1:
-        raise ValueError(
-            "structure must have exactly the centre tap in its temporal planes"
-        )
+    label_struct = _label_struct_taps(structure)
     warped = convolve(
         flat_labels,
         flow.forward_flow,
@@ -96,18 +217,35 @@ def link_labels_by_overlap(
     if n_labels == 0:
         return np.zeros(flat_labels.shape, dtype=dtype)
 
-    back_labels, forward_labels = _warped_neighbour_labels(
-        flow, flat_labels, structure, dtype
-    )
-
     sizes = np.bincount(flat_labels.ravel(), minlength=n_labels + 1).astype(np.int64)
-    edges = np.concatenate(
-        [
-            _overlap_edges(flat_labels, forward_labels, sizes, overlap, absolute_overlap),
-            _overlap_edges(flat_labels, back_labels, sizes, overlap, absolute_overlap),
-        ],
-        axis=0,
-    )
+
+    hists = None
+    if getattr(flow, "fused_detect", False):
+        # device op stack: the warped neighbour volumes stay on device and
+        # only the unique-pair histograms come back
+        hists = _overlap_pair_hists_device(
+            flow, flat_labels, structure, n_labels + 1
+        )
+    if hists is not None:
+        back_hist, fwd_hist = hists
+        edges = np.concatenate(
+            [
+                _edges_from_hist(fwd_hist, sizes, overlap, absolute_overlap),
+                _edges_from_hist(back_hist, sizes, overlap, absolute_overlap),
+            ],
+            axis=0,
+        )
+    else:
+        back_labels, forward_labels = _warped_neighbour_labels(
+            flow, flat_labels, structure, dtype
+        )
+        edges = np.concatenate(
+            [
+                _overlap_edges(flat_labels, forward_labels, sizes, overlap, absolute_overlap),
+                _overlap_edges(flat_labels, back_labels, sizes, overlap, absolute_overlap),
+            ],
+            axis=0,
+        )
 
     graph = sparse.coo_matrix(
         (np.ones(len(edges), dtype=np.int8), (edges[:, 0], edges[:, 1])),
