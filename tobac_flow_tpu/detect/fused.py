@@ -46,6 +46,7 @@ from tobac_flow_tpu.ops.morphology import (
 )
 from tobac_flow_tpu.ops.sobel import _FULL_STRUCTURE, _sobel_func_uphill
 from tobac_flow_tpu.utils.device_cache import device_put_cached
+from tobac_flow_tpu.utils.program_cache import persistent_jit
 
 __all__ = [
     "fused_core_markers",
@@ -220,10 +221,7 @@ def _growth_rate_j(field, fwd, bwd, dt):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("use_wvd", "warp_mode", "interior"),
-)
+@persistent_jit(static_argnames=("use_wvd", "warp_mode", "interior"))
 def _core_markers_jit(
     bt, wvd, swd, fwd, bwd, dt, wvd_threshold, bt_threshold, use_wvd,
     warp_mode, interior,
@@ -260,10 +258,7 @@ def _core_markers_jit(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("lower", "upper", "erode_distance", "warp_mode"),
-)
+@persistent_jit(static_argnames=("lower", "upper", "erode_distance", "warp_mode"))
 def _anvil_pre_jit(
     field, markers, fwd, bwd, lower, upper, erode_distance, warp_mode,
 ):
@@ -286,14 +281,14 @@ def _anvil_pre_jit(
     return edges, eroded
 
 
-@jax.jit
+@persistent_jit
 def _anvil_post_jit(labels, markers):
     labels = jnp.maximum(labels, 0)
     labels = labels * _opening(labels != 0, _S2D_OFFS).astype(labels.dtype)
     return jnp.where(markers > 0, markers, labels)
 
 
-@jax.jit
+@persistent_jit
 def _marker_mask_jit(field, threshold):
     return _opening(field >= threshold, _S2D_OFFS)
 

@@ -17,6 +17,7 @@ import numpy as np
 
 from tobac_flow_tpu.models.farneback import FarnebackParams, farneback_pair
 from tobac_flow_tpu.models.variational import variational_refine
+from tobac_flow_tpu.utils.program_cache import persistent_jit
 
 # flow fields stay device-resident (no readback, downstream ops consume them
 # in place) when all four per-direction component arrays fit this budget;
@@ -145,8 +146,7 @@ def _normalise_pair(prev, nxt, method: str):
     return jnp.round(a), jnp.round(b)
 
 
-@functools.partial(
-    jax.jit,
+@persistent_jit(
     static_argnames=(
         "model",
         "vr_steps",

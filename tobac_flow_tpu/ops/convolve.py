@@ -28,6 +28,7 @@ import numpy as np
 from tobac_flow_tpu.ops.banded import point_warp_fix
 from tobac_flow_tpu.ops.warp import shift_plane, warp_plane
 from tobac_flow_tpu.utils.device_cache import device_put_cached
+from tobac_flow_tpu.utils.program_cache import persistent_jit
 
 __all__ = [
     "convolve",
@@ -342,8 +343,7 @@ def _convolve_impl(
     return out
 
 
-@functools.partial(
-    jax.jit,
+@persistent_jit(
     static_argnames=("taps", "method", "func", "out_dtype", "fast_warp", "band_radii"),
 )
 def _convolve_jit(

@@ -38,6 +38,7 @@ import numpy as np
 
 from tobac_flow_tpu.ops.banded import banded_gather_axis
 from tobac_flow_tpu.utils.device_cache import device_put_cached
+from tobac_flow_tpu.utils.program_cache import persistent_jit
 
 __all__ = ["watershed"]
 
@@ -64,6 +65,23 @@ def _pallas_spatial_usable(h=256, w=256):
     if platform in ("cpu", "gpu"):
         _PALLAS_SPATIAL[key] = False
         return False
+    # the probe compile itself costs seconds on the remote rig — memoise the
+    # verdict on disk next to the persistent program cache
+    from tobac_flow_tpu.utils.program_cache import (
+        package_source_digest,
+        program_cache_dir,
+    )
+
+    memo = (
+        program_cache_dir()
+        / f"pallas_probe_{platform}_{key}_{package_source_digest()}.ok"
+    )
+    try:
+        if memo.exists():
+            _PALLAS_SPATIAL[key] = memo.read_text().strip() == "1"
+            return _PALLAS_SPATIAL[key]
+    except OSError:
+        pass
     try:
         from tobac_flow_tpu.ops.ws_pallas import spatial_sweeps_pallas
 
@@ -78,6 +96,11 @@ def _pallas_spatial_usable(h=256, w=256):
         _PALLAS_SPATIAL[key] = True
     except Exception:
         _PALLAS_SPATIAL[key] = False
+    try:
+        memo.parent.mkdir(parents=True, exist_ok=True)
+        memo.write_text("1" if _PALLAS_SPATIAL[key] else "0")
+    except OSError:
+        pass
     return _PALLAS_SPATIAL[key]
 
 
@@ -211,8 +234,7 @@ def _banded_scatter_min(cost_s, cost2_s, meta_s, disp_y, disp_x, radius, meta_ma
     return jax.lax.fori_loop(0, 2 * radius + 1, pass_x, out0)
 
 
-@functools.partial(
-    jax.jit,
+@persistent_jit(
     static_argnames=(
         "taps", "radius", "n_iters", "spatial_per_temporal", "grace",
         "use_pallas",
@@ -392,6 +414,119 @@ def _upsample_nearest(a, f, h, w):
     return up
 
 
+_META_MAX = np.int32(np.iinfo(np.int32).max)
+
+
+@persistent_jit
+def _ws_prep_jit(field_j, markers_j, mask_j, fwd_f, bwd_f):
+    """Watershed preprocessing as one program: inf-fill NaN barriers,
+    round/clip flows to int8 bands, seed the packed state, and compute the
+    band-radius exceedance curve (99th-percentile displacement stats)."""
+    field_j = jnp.where(jnp.isnan(field_j), jnp.inf, field_j)
+    fwd_int = jnp.clip(jnp.round(fwd_f), -127, 127).astype(jnp.int8)
+    bwd_int = jnp.clip(jnp.round(bwd_f), -127, 127).astype(jnp.int8)
+    mag = jnp.maximum(jnp.abs(fwd_int), jnp.abs(bwd_int))
+    mag = jnp.where(mask_j[..., None], mag, 0)
+    total = jnp.maximum(mask_j.sum() * 2, 1)
+    exceed = jnp.stack([(mag > k).sum() for k in range(21)])
+    small_enough = exceed <= jnp.maximum(total // 100, 1)  # ≥99% in band
+    seeded = markers_j != 0
+    # packed meta = hops << 23 | (label + 2); unlabeled = INT32_MAX sentinel
+    meta0 = jnp.where(seeded, markers_j + 2, _META_MAX).astype(jnp.int32)
+    claim0 = jnp.where(seeded, -jnp.inf, jnp.inf).astype(jnp.float32)
+    return field_j, fwd_int, bwd_int, (claim0, claim0, meta0), small_enough
+
+
+@persistent_jit(static_argnames=("factor",))
+def _ws_coarse_prep_jit(field_j, markers_j, mask_j, fwd_int, bwd_int, factor):
+    """Coarse-grid (max-pooled) V-cycle inputs as one program."""
+    cf = _coarsen(field_j, factor, "max")
+    cmask = _coarsen(mask_j.astype(jnp.int32), factor, "max").astype(bool)
+    cmark = _coarsen(markers_j, factor, "max")
+    neg = _coarsen(markers_j, factor, "min")
+    cmark = jnp.where((cmark == 0) & (neg < 0), neg, cmark)
+    cfwd = (_coarsen(fwd_int[..., 0], factor, "mean") / factor).astype(jnp.int32)
+    cfwy = (_coarsen(fwd_int[..., 1], factor, "mean") / factor).astype(jnp.int32)
+    cbwx = (_coarsen(bwd_int[..., 0], factor, "mean") / factor).astype(jnp.int32)
+    cbwy = (_coarsen(bwd_int[..., 1], factor, "mean") / factor).astype(jnp.int32)
+    cfwd_i = jnp.stack([cfwd, cfwy], axis=-1)
+    cbwd_i = jnp.stack([cbwx, cbwy], axis=-1)
+    cseeded = cmark != 0
+    cstate = (
+        jnp.where(cseeded, -jnp.inf, jnp.inf).astype(jnp.float32),
+        jnp.where(cseeded, -jnp.inf, jnp.inf).astype(jnp.float32),
+        jnp.where(cseeded, cmark + 2, _META_MAX).astype(jnp.int32),
+    )
+    return cf, cmask, cmark, cfwd_i, cbwd_i, cstate
+
+
+@persistent_jit(static_argnames=("factor",), donate_argnums=(5,))
+def _ws_adopt_jit(cstate, cmark, field_j, markers_j, mask_j, state, factor):
+    """Adopt the coarse flood as an upper-bound initial fine state.
+
+    The coarse solution is upsampled and adopted wherever the fine pixel is
+    floodable and the coarse label is set; the edge-replicated crop margin is
+    excluded (no upper-bound guarantee).  Negative (barrier) coarse labels
+    are adopted ONLY deep inside barrier territory and never at boundary
+    cells: a boundary coarse cell seeded by pooled -1 markers would hand the
+    fine rim an optimal-cost -1 claim that only a long claim-relaxation tail
+    can overturn — which label-only convergence cuts off (regression:
+    test_negative_marker_boundary_multigrid).  Deep-interior -1 cells carry
+    genuinely flooded values, and without adopting them the vast -1 region
+    floods from scratch at ~1 px per sweep (hundreds of rounds at GOES-day
+    scale)."""
+    t, h, w = field_j.shape
+    seeded = markers_j != 0
+    cseeded = cmark != 0
+    up_claim = _upsample_nearest(cstate[0], factor, h, w)
+    up_meta = _upsample_nearest(cstate[2], factor, h, w)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 1)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 2)
+    in_cov = (yi < (h // factor) * factor) & (xi < (w // factor) * factor)
+    up_label = (up_meta & ((1 << 23) - 1)) - 2
+    clabel = jnp.where(
+        cstate[2] == _META_MAX, 0, (cstate[2] & ((1 << 23) - 1)) - 2
+    )
+    neg_cell = (clabel < 0) & ~cseeded
+    deep_neg = neg_cell
+    for axis, dlt in ((0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)):
+        shifted = jnp.roll(clabel < 0, dlt, axis)
+        # roll wraps; wrapped faces are barrier-adjacent only if the
+        # opposite face is — conservatively mask the wrapped slice
+        idx = jax.lax.broadcasted_iota(jnp.int32, clabel.shape, axis)
+        n_ax = clabel.shape[axis]
+        valid = (idx >= dlt) & (idx < n_ax + dlt) if dlt > 0 else (
+            (idx >= 0) & (idx < n_ax + dlt)
+        )
+        deep_neg = deep_neg & jnp.where(valid, shifted, False)
+    up_deep_neg = _upsample_nearest(
+        deep_neg.astype(jnp.int32), factor, h, w
+    ).astype(bool)
+    adopt = (
+        mask_j
+        & ~seeded
+        & (up_meta != _META_MAX)
+        & ((up_label >= 1) | up_deep_neg)
+        & in_cov
+    )
+    adopted_claim = jnp.maximum(up_claim, field_j)
+    return (
+        jnp.where(adopt, adopted_claim, state[0]),
+        # the coarse second-max is not an upper bound on the fine grid;
+        # claim2 <= claim always holds, so claim itself is the safe one
+        jnp.where(adopt, adopted_claim, state[1]),
+        jnp.where(adopt, up_meta, state[2]),
+    )
+
+
+@persistent_jit
+def _ws_decode_jit(meta, markers_j, mask_j):
+    """Unpack labels from the converged meta and restore marker identity."""
+    label = jnp.where(meta == _META_MAX, 0, (meta & ((1 << 23) - 1)) - 2)
+    label = jnp.where(markers_j != 0, markers_j, label)
+    return jnp.where((markers_j != 0) | (mask_j & (label != 0)), label, 0)
+
+
 def watershed(
     forward_flow,
     backward_flow,
@@ -446,21 +581,21 @@ def watershed(
     if max_iters is None:
         max_iters = int(sum(field_j.shape)) + 32
 
-    field_j = jnp.where(jnp.isnan(field_j), jnp.inf, field_j)
     # rounded displacements fit int8 (flow is clipped to ±20 px upstream,
     # reference flow.py:60-61) — at GOES-day scale the int32 form alone was
-    # 1.8 GB of HBM
-    fwd_int = (
-        jnp.clip(jnp.round(device_put_cached(forward_flow)), -127, 127)
-        .astype(jnp.int8)
-    )
-    bwd_int = (
-        jnp.clip(jnp.round(device_put_cached(backward_flow)), -127, 127)
-        .astype(jnp.int8)
+    # 1.8 GB of HBM.  The whole prep runs as ONE program: on the remote-TPU
+    # rig every eager jnp op is its own (per-process) compile, and this
+    # block alone was ~30 mini-programs of first-dispatch latency.
+    field_j, fwd_int, bwd_int, state, small_enough = _ws_prep_jit(
+        field_j,
+        markers_j,
+        mask_j,
+        device_put_cached(forward_flow),
+        device_put_cached(backward_flow),
     )
     if radius is None:
         # adaptive band radius: the temporal-tap cost scales with 2R+1, so
-        # specialise to the 99th-percentile rounded displacement (one scalar
+        # specialise to the 99th-percentile rounded displacement (one small
         # readback; compile cache is keyed per radius value).  Only masked
         # pixels can ever push a label (unmasked sources carry +inf cost),
         # so the percentile is taken over the mask — the flow over empty
@@ -468,23 +603,8 @@ def watershed(
         # inflate the band 2-3x.  Displacements beyond the band are clipped
         # by the banded scatter — the handful of outlier vectors saturate
         # exactly as the reference's ±max_value clip does.
-        mag = jnp.maximum(jnp.abs(fwd_int), jnp.abs(bwd_int))
-        mag = jnp.where(mask_j[..., None], mag, 0)
-        total = jnp.maximum(mask_j.sum() * 2, 1)
-        exceed = jnp.stack([(mag > k).sum() for k in range(21)])
-        small_enough = exceed <= jnp.maximum(total // 100, 1)  # ≥99% in band
-        q = jnp.argmax(small_enough)  # first radius covering 99%
-        radius = int(min(int(q) + 2, 21))
-
-    seeded = markers_j != 0
-    # packed meta = hops << 23 | (label + 2); unlabeled = INT32_MAX sentinel
-    meta_max = np.int32(np.iinfo(np.int32).max)
-    meta0 = jnp.where(seeded, markers_j + 2, meta_max).astype(jnp.int32)
-    state = (
-        jnp.where(seeded, -jnp.inf, jnp.inf).astype(jnp.float32),
-        jnp.where(seeded, -jnp.inf, jnp.inf).astype(jnp.float32),
-        meta0,
-    )
+        q = int(np.argmax(np.asarray(small_enough)))  # first radius covering 99%
+        radius = int(min(q + 2, 21))
 
     t, h, w = field_j.shape
     # the Pallas time-tiled sweep kernel pays off once a frame outgrows its
@@ -495,22 +615,8 @@ def watershed(
         # V-cycle: flood a max-pooled field first (coarse barriers >= true
         # barriers, so the upsampled claims are upper bounds and full-res
         # sweeps relax monotonically to the same fixed point), then refine.
-        cf = _coarsen(field_j, factor, "max")
-        cmask = _coarsen(mask_j.astype(jnp.int32), factor, "max").astype(bool)
-        cmark = _coarsen(markers_j, factor, "max")
-        neg = _coarsen(markers_j, factor, "min")
-        cmark = jnp.where((cmark == 0) & (neg < 0), neg, cmark)
-        cfwd = (_coarsen(fwd_int[..., 0], factor, "mean") / factor).astype(jnp.int32)
-        cfwy = (_coarsen(fwd_int[..., 1], factor, "mean") / factor).astype(jnp.int32)
-        cbwx = (_coarsen(bwd_int[..., 0], factor, "mean") / factor).astype(jnp.int32)
-        cbwy = (_coarsen(bwd_int[..., 1], factor, "mean") / factor).astype(jnp.int32)
-        cfwd_i = jnp.stack([cfwd, cfwy], axis=-1)
-        cbwd_i = jnp.stack([cbwx, cbwy], axis=-1)
-        cseeded = cmark != 0
-        cstate = (
-            jnp.where(cseeded, -jnp.inf, jnp.inf).astype(jnp.float32),
-            jnp.where(cseeded, -jnp.inf, jnp.inf).astype(jnp.float32),
-            jnp.where(cseeded, cmark + 2, meta_max).astype(jnp.int32),
+        cf, cmask, cmark, cfwd_i, cbwd_i, cstate = _ws_coarse_prep_jit(
+            field_j, markers_j, mask_j, fwd_int, bwd_int, factor
         )
         cradius = max(radius // factor, 1) if radius is not None else 5
         cdone = 0
@@ -526,71 +632,13 @@ def watershed(
             cdone += used
             if used < n:
                 break
-        up_claim = _upsample_nearest(cstate[0], factor, h, w)
-        up_meta = _upsample_nearest(cstate[2], factor, h, w)
-        # adopt the coarse solution as an upper-bound initial state wherever
-        # the fine pixel is floodable and the coarse label is set; the
-        # edge-replicated crop margin is excluded (no upper-bound guarantee)
-        yi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 1)
-        xi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 2)
-        in_cov = (yi < (h // factor) * factor) & (xi < (w // factor) * factor)
-        # negative (barrier) coarse labels are never adopted: a boundary
-        # coarse cell seeded by pooled -1 markers would hand the fine rim an
-        # optimal-cost -1 claim that only a long claim-relaxation tail can
-        # overturn — which label-only convergence cuts off.  Left unlabeled,
-        # the rim is claimed by the arriving fine flood (a label change, so
-        # convergence waits for it).
-        up_label = (up_meta & ((1 << 23) - 1)) - 2
-        # negative (barrier) labels ARE adopted where the coarse cell sits
-        # deep inside barrier territory and is not itself a pooled -1 marker
-        # seed: for such cells the coarse claim is a genuinely flooded value
-        # and the positive-label upper-bound argument applies verbatim.
-        # Without this, the vast -1 region floods from scratch at fine
-        # resolution (~1 px per sweep) and a GOES-day anvil watershed spends
-        # hundreds of rounds on the barrier tail.  Boundary cells — any
-        # coarse cell that pooled a -1 marker, or whose 6-neighbourhood is
-        # not all-negative — stay unadopted, which is exactly the regression
-        # case test_negative_marker_boundary_multigrid pins (an adopted
-        # boundary -1 claim at cost field(p) is unbeatable).
-        clabel = jnp.where(
-            cstate[2] == meta_max, 0, (cstate[2] & ((1 << 23) - 1)) - 2
+        state = _ws_adopt_jit(
+            cstate, cmark, field_j, markers_j, mask_j, state, factor
         )
-        neg_cell = (clabel < 0) & ~cseeded
-        deep_neg = neg_cell
-        for axis, dlt in ((0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)):
-            shifted = jnp.roll(clabel < 0, dlt, axis)
-            # roll wraps; wrapped faces are barrier-adjacent only if the
-            # opposite face is — conservatively mask the wrapped slice
-            idx = jax.lax.broadcasted_iota(jnp.int32, clabel.shape, axis)
-            n_ax = clabel.shape[axis]
-            valid = (idx >= dlt) & (idx < n_ax + dlt) if dlt > 0 else (
-                (idx >= 0) & (idx < n_ax + dlt)
-            )
-            deep_neg = deep_neg & jnp.where(valid, shifted, False)
-        up_deep_neg = _upsample_nearest(
-            deep_neg.astype(jnp.int32), factor, h, w
-        ).astype(bool)
-        adopt = (
-            mask_j
-            & ~seeded
-            & (up_meta != meta_max)
-            & ((up_label >= 1) | up_deep_neg)
-            & in_cov
-        )
-        adopted_claim = jnp.maximum(up_claim, field_j)
-        state = (
-            jnp.where(adopt, adopted_claim, state[0]),
-            # the coarse second-max is not an upper bound on the fine grid;
-            # claim2 <= claim always holds, so claim itself is the safe one
-            jnp.where(adopt, adopted_claim, state[1]),
-            jnp.where(adopt, up_meta, state[2]),
-        )
-        # free the coarse-grid and upsampled device buffers before the fine
-        # dispatches — at GOES-day scale they are several hundred MB of HBM
-        # the flood needs back
+        # free the coarse-grid device buffers before the fine dispatches —
+        # at GOES-day scale they are several hundred MB of HBM the flood
+        # needs back
         del cstate, cf, cmask, cmark, cfwd_i, cbwd_i
-        del up_claim, up_meta, up_label, adopt, adopted_claim, yi, xi, in_cov
-        del clabel, neg_cell, deep_neg, up_deep_neg
 
     done = 0
     while done < max_iters:
@@ -604,10 +652,7 @@ def watershed(
         if used < n:  # converged inside the chunk
             break
 
-    meta = state[2]
-    label = jnp.where(meta == meta_max, 0, (meta & ((1 << 23) - 1)) - 2)
-    label = jnp.where(seeded, markers_j, label)
-    out = jnp.where((markers_j != 0) | (mask_j & (label != 0)), label, 0)
+    out = _ws_decode_jit(state[2], markers_j, mask_j)
     if return_device:
         return out
     return np.array(out)

@@ -23,6 +23,7 @@ from tobac_flow_tpu.ops.banded import (
 )
 from tobac_flow_tpu.ops.warp import shift_plane, warp_plane
 from tobac_flow_tpu.ops.watershed import watershed
+from tobac_flow_tpu.utils.program_cache import persistent_jit
 
 __all__ = ["device_flow", "device_detect_fields", "fused_flow_watershed"]
 
@@ -42,8 +43,7 @@ def _normalise_pair(prev, nxt):
     return jnp.round(a), jnp.round(b)
 
 
-@functools.partial(
-    jax.jit,
+@persistent_jit(
     static_argnames=(
         "params",
         "max_value",
@@ -197,12 +197,12 @@ def _flow_sobel_uphill(data, fwd, bwd, method="linear", approx=False,
     return jax.lax.map(one_frame, jnp.arange(t))
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
+@persistent_jit(static_argnames=("params",))
 def _flow_stage(bt, params=None):
     return device_flow(bt, params)
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
+@persistent_jit(static_argnames=("radius",))
 def _detect_fields_stage(bt, fwd, bwd, dt_minutes, radius):
     growth = -_flow_diff(bt, fwd, bwd, radius=radius) / dt_minutes
     field = jnp.clip((260.0 - bt) / 10.0, 0.0, 1.0)

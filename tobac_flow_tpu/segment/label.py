@@ -36,6 +36,7 @@ from tobac_flow_tpu.ops.convolve import (
     convolve,
     structure_taps,
 )
+from tobac_flow_tpu.utils.program_cache import persistent_jit
 
 __all__ = ["flow_label", "flow_link_overlap", "link_labels_by_overlap"]
 
@@ -68,9 +69,7 @@ def _warp_mode_key():
     return (m.FAST_WARP, m.BANDED_EXACT, m.PLAN_FRAME_K)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("taps", "n_cap", "lo", "hi", "mode")
-)
+@persistent_jit(static_argnames=("taps", "n_cap", "lo", "hi", "mode"))
 def _pair_hist_jit(labels, fwd, bwd, nplus1, taps, n_cap, lo, hi, mode):
     """Unique (a·(n+1)+b) overlap keys and counts over interior frames
     [lo, hi) for both warp directions, entirely on device.
