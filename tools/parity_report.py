@@ -110,11 +110,11 @@ def main():
             "`exact` is the per-pixel XLA-gather instrument it is verified",
             "against.  Anvil co-label agreement ~1.0 shows the watershed",
             "assigns the same basin wherever both stacks label a pixel; the",
-            "residual anvil IoU gap is footprint fuzz on equal-minimax-cost",
-            "plateau boundaries against the -1 barrier seeds, which the",
-            "serial heap resolves by push age (a tie class by construction —",
-            "re-running the reference with any other heap insertion order",
-            "moves the same pixels).  That degeneracy is quantified below.",
+            "residual anvil IoU gap is footprint fuzz at the anvil rims",
+            "against the -1 barrier seeds.  The tie-sensitivity study below",
+            "tests (and REFUTES) the round-2 hypothesis that this fuzz is",
+            "heap push-age degeneracy; tools/ws_tie_probe.py decomposes the",
+            "actual mechanism (see WS_TIE_PROBE.json).",
         ]
 
     tie_json = Path(__file__).parent.parent / "TIE_SENSITIVITY.json"
@@ -147,10 +147,40 @@ def main():
             )
         lines += [
             "",
-            "If TPU-vs-ref falls inside the ref-vs-ref spread, the residual",
-            "anvil IoU gap is formally tie degeneracy — the 0.99 gate is met",
-            "up to the reference's own insertion-order freedom.",
+            "Measured result: the reference heap's answer is INVARIANT to",
+            "seed push-order permutation (ref-vs-ref IoU 1.0), so the",
+            "residual anvil IoU gap is NOT seed-age tie degeneracy — the",
+            "round-2 hand-wave is refuted, not confirmed.  The deviation is",
+            "a real algorithmic difference between the device relaxation",
+            "(hop-count tie-breaking, grace-bounded convergence, multigrid",
+            "upper-bound adoption) and the serial heap; its mechanism is",
+            "decomposed by tools/ws_tie_probe.py (WS_TIE_PROBE.json).",
         ]
+    probe_json = Path(__file__).parent.parent / "WS_TIE_PROBE.json"
+    if probe_json.exists():
+        import json
+
+        probe = json.loads(probe_json.read_text())
+        lines += [
+            "",
+            "## Gap decomposition (tools/ws_tie_probe.py)",
+            "",
+            "Thick-anvil stage of the tie-sensitivity scene under variants",
+            "isolating premature convergence (grace rounds / multigrid",
+            "upper-bound adoption) from genuine tie-semantics differences:",
+            "",
+            "| variant | mean object IoU | min object IoU | diff px | ref>0,tpu=0 | ref=0,tpu>0 | both>0 differ |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name, v in probe.items():
+            if not isinstance(v, dict) or "mean_iou" not in v:
+                continue
+            lines.append(
+                f"| {name} | {v['mean_iou']:.4f} | {v['min_iou']:.4f} "
+                f"| {v.get('n_diff', '-')} | {v.get('ref_pos_tpu_zero', '-')} "
+                f"| {v.get('ref_zero_tpu_pos', '-')} "
+                f"| {v.get('both_pos_differ', '-')} |"
+            )
 
     Path(__file__).parent.parent.joinpath("PARITY.md").write_text("\n".join(lines))
     print("wrote PARITY.md")
