@@ -19,8 +19,11 @@ def xla_spatial_sweep(state, field, seeded, floodable, in_plane):
     t, h, w = field.shape
     c, c2, m = state
     cost = jnp.where(seeded, field, jnp.maximum(field, c))
-    cost2 = jnp.where(
-        seeded, -jnp.inf, jnp.where(field >= c, c, jnp.maximum(c2, field))
+    # frozen gate value (ops/watershed._watershed_sweeps)
+    cost2 = jnp.where(seeded, -jnp.inf, jnp.where(field > c, c, c2))
+    # plateau-relative hop reset at plateau entries (ops/watershed.sweep)
+    meta_p = jnp.where(
+        ~seeded & (field > c), m & jnp.int32((1 << 23) - 1), m
     )
     bc, bc2, bm = c, c2, m
     hops_step = jnp.int32(1 << 23)
@@ -36,13 +39,21 @@ def xla_spatial_sweep(state, field, seeded, floodable, in_plane):
     for dy, dx in in_plane:
         cq = shift2(cost, dy, dx, jnp.inf)
         c2q = shift2(cost2, dy, dx, jnp.inf)
-        mq = shift2(m, dy, dx, META_MAX)
-        cand = mq + jnp.where(mq < hops_cap, hops_step, 0)
+        mq = shift2(meta_p, dy, dx, META_MAX)
+        # on-level-only hop increment (ops/watershed.consider)
+        cand = mq + jnp.where((mq < hops_cap) & (field == cq), hops_step, 0)
         valid = mq != META_MAX
+        # lexicographic (claim, hops, gate, label-with--1-last) —
+        # ops/watershed._lex_better
+        hq, hb = cand >> 23, bm >> 23
+        lab_top = jnp.int32((1 << 23) - 1)
+        kq = jnp.where((cand & lab_top) == 1, cand | lab_top, cand)
+        kb = jnp.where((bm & lab_top) == 1, bm | lab_top, bm)
         better = (
             (cq < bc)
-            | ((cq == bc) & (c2q < bc2))
-            | ((cq == bc) & (c2q == bc2) & (cand < bm))
+            | ((cq == bc) & (hq < hb))
+            | ((cq == bc) & (hq == hb) & (c2q < bc2))
+            | ((cq == bc) & (hq == hb) & (c2q == bc2) & (kq < kb))
         ) & valid
         bc = jnp.where(better, cq, bc)
         bc2 = jnp.where(better, c2q, bc2)

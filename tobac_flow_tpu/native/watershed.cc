@@ -10,6 +10,7 @@
 // Build: g++ -O3 -shared -fPIC watershed.cc -o libtfwatershed.so
 
 #include <cstdint>
+#include <limits>
 #include <queue>
 #include <vector>
 
@@ -74,6 +75,59 @@ void flow_watershed(const float* image,
       // label at push: cannot be reached more cheaply later
       output[nb] = output[elem.index];
       heap.push(Item{image[nb], age++, nb});
+    }
+  }
+}
+
+// Exact minimax path costs from a seed set — the well-defined part of the
+// watershed solution (diagnostic: separates genuine cost ties, where only
+// the heap's age clock arbitrates, from cost errors).  Same directed graph
+// as flow_watershed (temporal neighbours along the SOURCE pixel's flow).
+// cost[p] = min over paths (seed .. q -> p) of max(image over seed..q),
+// i.e. the arrival bottleneck EXCLUDING image[p] — the quantity the
+// data-parallel flood stores as "claim".
+void flow_watershed_costs(const float* image,
+                          const int8_t* mask,
+                          const int8_t* seeds,
+                          float* cost,
+                          const int64_t* structure,
+                          const uint8_t* fwd_flag,
+                          const uint8_t* bwd_flag,
+                          const int64_t* fwd_off,
+                          const int64_t* bwd_off,
+                          int64_t n_struct,
+                          int64_t n_pixels) {
+  const float inf = std::numeric_limits<float>::infinity();
+  for (int64_t i = 0; i < n_pixels; ++i) cost[i] = inf;
+  std::priority_queue<Item, std::vector<Item>, Greater> heap;
+  for (int64_t i = 0; i < n_pixels; ++i) {
+    if (seeds[i]) {
+      cost[i] = image[i];
+      heap.push(Item{image[i], 0, i});
+    }
+  }
+  while (!heap.empty()) {
+    Item elem = heap.top();
+    heap.pop();
+    // stale check: the live entry's push value is max(arrival, own image)
+    float live = cost[elem.index] > image[elem.index] ? cost[elem.index]
+                                                      : image[elem.index];
+    if (elem.value > live) continue;
+    for (int64_t i = 0; i < n_struct; ++i) {
+      int64_t nb = structure[i] + elem.index;
+      if (fwd_flag[i]) nb += fwd_off[elem.index];
+      if (bwd_flag[i]) nb += bwd_off[elem.index];
+      if (nb < 0 || nb >= n_pixels) continue;
+      if (!mask[nb]) continue;
+      // arrival bottleneck at nb via elem: the path max through elem,
+      // which includes image[elem] (elem.value is already that max for
+      // non-seeds; for seeds it is the seed's own value)
+      float nc = elem.value;
+      if (nc < cost[nb]) {
+        cost[nb] = nc;
+        float push = image[nb] > nc ? image[nb] : nc;
+        heap.push(Item{push, 0, nb});
+      }
     }
   }
 }

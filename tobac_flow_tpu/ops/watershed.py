@@ -8,10 +8,28 @@ The serial heap is inherently sequential, so the TPU implementation solves the
 equivalent *minimax-path* formulation with data-parallel Jacobi sweeps:
 
   claim(p)  = min over neighbours q of cost(q),  cost(q) = max(field(q), claim(q))
-  label(p)  = label of the lexicographic argmin (claim, hops, label)
+  label(p)  = label of the lexicographic argmin (claim, hops, gate, label')
 
-where ``hops`` counts propagation steps and approximates the heap's age-based
-tie-breaking on plateaus.  Each sweep uses
+approximating the heap's pop clock (measured against the oracle in
+WS_CLAIM_PROBE.json / tools/ws_claim_probe.py):
+
+  * ``hops`` counts steps taken ON the wave's level (receiver field ==
+    candidate claim) since the last strict rise of the running max — the
+    heap expands equal-value plateaus in level-synchronised BFS order from
+    their entries, while everything strictly below a popped gateway floods
+    in consecutive pops (winner-take-all), so hops freeze on descents;
+  * ``gate`` is the approach bottleneck at the path's last strict max rise
+    (NOT a running second-max, which two competing waves sharing the
+    post-gateway descent would equalise) — the proxy for the gateway's pop
+    age: the heap decides the race at a shared saddle by arrival there and
+    label-at-push hands everything beyond it to the winner;
+  * ``label'`` orders the -1 barrier AFTER all positive labels: on detect
+    fields the heap resolves the residual exact-tie races for the anvil
+    1479:0 (the anvil-side approach over the linearised interior is
+    structurally lower than the barrier-side approach over the mask
+    plateau).
+
+Each sweep uses
 
   * static shifts for the in-plane taps (no gathers at all), and
   * banded-shift gathers (``ops/banded.py``) for the flow-displaced temporal
@@ -43,6 +61,11 @@ from tobac_flow_tpu.utils.program_cache import persistent_jit
 __all__ = ["watershed"]
 
 _INF = np.float32(np.inf)
+
+# diagnostic: route temporal taps through the O(R^2) reference-exact scatter
+import os as _os
+
+_EXACT_SCATTER = _os.environ.get("TFT_WS_EXACT_SCATTER", "") == "1"
 
 # per-width probe cache: padded-width bucket -> True/False (the kernel's
 # VMEM working set scales with frame width, so usability is width-dependent)
@@ -160,12 +183,73 @@ def _scatter_axis(arrs, fills, s, axis, radius):
 
 
 def _lex_better(c1a, c2a, ma, c1b, c2b, mb):
-    """Lexicographic (claim, second-claim, meta) comparison: a < b."""
+    """Lexicographic (claim, hops, second-claim, label) comparison: a < b.
+
+    Hop count ranks BEFORE the second-max: the heap pops strictly by
+    (value, age), so within an equal-value plateau ALL entry pushes precede
+    any intra-plateau push and the wave expands in global BFS level order —
+    plateau distance decides first; entry age (whose proxy is the pusher's
+    path profile, ~ the second-max, with seeds-in-plateau earliest of all)
+    only breaks equidistant ties.  Comparing the second-max first lets a
+    seed's -inf cost2 steal cells from nearer entries, measured as the
+    -1-barrier over-winning 681:2 on the tie-probe scene."""
+    ha = ma >> 23
+    hb = mb >> 23
+    # full-tuple ties: the -1 barrier (label code 1) loses to any positive
+    # label.  On real detect fields the heap resolves every such race for
+    # the anvil (measured 1479:0, WS_CLAIM_PROBE.json): the shared-saddle
+    # arrival recursion bottoms out in the approach profiles, and the
+    # anvil-side approach (edges ~ sobel - 1 inside the linearised anvil)
+    # is structurally lower than the barrier-side approach over the mask
+    # plateau (edges ~ sobel - 0).  Mapping code 1 to the top of the label
+    # range encodes that while keeping the meta_max sentinel above all.
+    lab_top = jnp.int32((1 << 23) - 1)
+    ka = jnp.where((ma & lab_top) == 1, ma | lab_top, ma)
+    kb = jnp.where((mb & lab_top) == 1, mb | lab_top, mb)
     return (
         (c1a < c1b)
-        | ((c1a == c1b) & (c2a < c2b))
-        | ((c1a == c1b) & (c2a == c2b) & (ma < mb))
+        | ((c1a == c1b) & (ha < hb))
+        | ((c1a == c1b) & (ha == hb) & (c2a < c2b))
+        | ((c1a == c1b) & (ha == hb) & (c2a == c2b) & (ka < kb))
     )
+
+
+def _banded_scatter_min_exact(
+    cost_s, cost2_s, meta_s, disp_y, disp_x, radius, meta_max
+):
+    """Reference-exact (2R+1)^2 scatter: every (dy, dx) pair is its own
+    masked static-shift pass, so no push is ever lost to an intermediate
+    collision.  O(R^2) passes — diagnostic / small-radius use only."""
+    dy = disp_y.astype(jnp.int32)
+    dx = disp_x.astype(jnp.int32)
+    big = jnp.asarray(_INF, cost_s.dtype)
+    out = (
+        jnp.full(cost_s.shape, _INF, cost_s.dtype),
+        jnp.full(cost_s.shape, _INF, cost_s.dtype),
+        jnp.full(meta_s.shape, meta_max, meta_s.dtype),
+    )
+    for sy in range(-radius, radius + 1):
+        rowsel = dy == sy
+        for sx in range(-radius, radius + 1):
+            m = rowsel & (dx == sx)
+            cand = (
+                jnp.where(m, cost_s, big),
+                jnp.where(m, cost2_s, big),
+                jnp.where(m, meta_s, meta_max),
+            )
+            cc, cc2, cm = _scatter_axis(
+                cand, (big, big, meta_max), sy, -2, radius
+            )
+            cc, cc2, cm = _scatter_axis(
+                (cc, cc2, cm), (big, big, meta_max), sx, -1, radius
+            )
+            better = _lex_better(cc, cc2, cm, out[0], out[1], out[2])
+            out = (
+                jnp.where(better, cc, out[0]),
+                jnp.where(better, cc2, out[1]),
+                jnp.where(better, cm, out[2]),
+            )
+    return out
 
 
 def _banded_scatter_min(cost_s, cost2_s, meta_s, disp_y, disp_x, radius, meta_max):
@@ -178,12 +262,26 @@ def _banded_scatter_min(cost_s, cost2_s, meta_s, disp_y, disp_x, radius, meta_ma
     (``_watershed.pyx:308-313``: neighbours at structure + index +
     flow-at-source), which a destination-side pull cannot represent when the
     forward and backward flows are not exact inverses."""
-    dy = jnp.clip(disp_y, -radius, radius)
-    dx = jnp.clip(disp_x, -radius, radius)
+    # out-of-band displacements are DROPPED, not clipped: a clipped push
+    # lands on a pixel the reference heap's graph has no edge to (phantom
+    # adjacency) and can hand it an unbeatable understated claim.  The heap
+    # pads by max|flow| and never clips (_watershed.pyx:308-313); sources
+    # beyond the band match no shift k in [-R, R] and so push nowhere.
+    dy = disp_y.astype(jnp.int32)
+    dx = disp_x.astype(jnp.int32)
     big = jnp.asarray(_INF, cost_s.dtype)
 
+    # The y-pass reduces colliding pushes (same intermediate row) to ONE
+    # survivor, but colliding pushes whose x-displacements differ target
+    # DIFFERENT final cells — a single-lane reduction silently drops edges
+    # the reference heap has (measured: 2-4% of pixels receive divergent-dx
+    # collisions on the tie-probe scene).  Two lanes survive the y-pass:
+    # the lexicographic best, and the best among pushes with a different dx
+    # (a distinct final destination).  Pushes are lost only at >=3-way
+    # collisions with >=3 distinct dx where the dropped one would have won
+    # its destination — unobserved on the probe scenes.
     def pass_y(k, acc):
-        acc_c, acc_c2, acc_m, acc_dx = acc
+        (ac, ac2, am, adx), (bc, bc2, bm, bdx) = acc
         s = k - radius
         m = dy == s
         cand = (
@@ -195,42 +293,60 @@ def _banded_scatter_min(cost_s, cost2_s, meta_s, disp_y, disp_x, radius, meta_ma
         cc, cc2, cm, cdx = _scatter_axis(
             cand, (big, big, meta_max, 0), s, -2, radius
         )
-        better = _lex_better(cc, cc2, cm, acc_c, acc_c2, acc_m)
+        cand_first = _lex_better(cc, cc2, cm, ac, ac2, am)
+        tc = jnp.where(cand_first, cc, ac)
+        tc2 = jnp.where(cand_first, cc2, ac2)
+        tm = jnp.where(cand_first, cm, am)
+        tdx = jnp.where(cand_first, cdx, adx)
+        # the displaced runner-up (whichever of {cand, lane A} lost)
+        oc = jnp.where(cand_first, ac, cc)
+        oc2 = jnp.where(cand_first, ac2, cc2)
+        om = jnp.where(cand_first, am, cm)
+        odx = jnp.where(cand_first, adx, cdx)
+        # lane B keeps the best push whose dx differs from lane A's
+        o_ok = (om != meta_max) & (odx != tdx)
+        b_ok = (bm != meta_max) & (bdx != tdx)
+        pick_o = o_ok & (~b_ok | _lex_better(oc, oc2, om, bc, bc2, bm))
         return (
-            jnp.where(better, cc, acc_c),
-            jnp.where(better, cc2, acc_c2),
-            jnp.where(better, cm, acc_m),
-            jnp.where(better, cdx, acc_dx),
+            (tc, tc2, tm, tdx),
+            (
+                jnp.where(pick_o, oc, jnp.where(b_ok, bc, big)),
+                jnp.where(pick_o, oc2, jnp.where(b_ok, bc2, big)),
+                jnp.where(pick_o, om, jnp.where(b_ok, bm, meta_max)),
+                jnp.where(pick_o, odx, jnp.where(b_ok, bdx, 0)),
+            ),
         )
 
-    init = (
+    lane0 = (
         jnp.full(cost_s.shape, _INF, cost_s.dtype),
         jnp.full(cost_s.shape, _INF, cost_s.dtype),
         jnp.full(meta_s.shape, meta_max, meta_s.dtype),
-        jnp.zeros(dx.shape, dx.dtype),
+        jnp.zeros(dx.shape, jnp.int32),
     )
-    acc_c, acc_c2, acc_m, acc_dx = jax.lax.fori_loop(
-        0, 2 * radius + 1, pass_y, init
+    lane_a, lane_b = jax.lax.fori_loop(
+        0, 2 * radius + 1, pass_y, (lane0, lane0)
     )
 
     def pass_x(k, acc):
         out_c, out_c2, out_m = acc
         s = k - radius
-        m = acc_dx == s
-        cand = (
-            jnp.where(m, acc_c, big),
-            jnp.where(m, acc_c2, big),
-            jnp.where(m, acc_m, meta_max),
-        )
-        cc, cc2, cm = _scatter_axis(cand, (big, big, meta_max), s, -1, radius)
-        better = _lex_better(cc, cc2, cm, out_c, out_c2, out_m)
-        return (
-            jnp.where(better, cc, out_c),
-            jnp.where(better, cc2, out_c2),
-            jnp.where(better, cm, out_m),
-        )
+        for lc, lc2, lm, ldx in (lane_a, lane_b):
+            m = (ldx == s) & (lm != meta_max)
+            cand = (
+                jnp.where(m, lc, big),
+                jnp.where(m, lc2, big),
+                jnp.where(m, lm, meta_max),
+            )
+            cc, cc2, cm = _scatter_axis(
+                cand, (big, big, meta_max), s, -1, radius
+            )
+            better = _lex_better(cc, cc2, cm, out_c, out_c2, out_m)
+            out_c = jnp.where(better, cc, out_c)
+            out_c2 = jnp.where(better, cc2, out_c2)
+            out_m = jnp.where(better, cm, out_m)
+        return (out_c, out_c2, out_m)
 
-    out0 = (init[0], init[1], init[2])
+    out0 = (lane0[0], lane0[1], lane0[2])
     return jax.lax.fori_loop(0, 2 * radius + 1, pass_x, out0)
 
 
@@ -287,9 +403,16 @@ def _watershed_sweeps(
 
     def consider(best, cq, c2q, mq):
         bc, bc2, bm = best
-        # bump the hop count of the incoming candidate (saturating at 255 —
-        # an unconditional add would overflow the int32 at the cap)
-        cand_m = mq + jnp.where(mq < hops_cap, hops_step, 0)
+        # bump the hop count only while the wave stays ON its level plateau
+        # (receiver field == candidate claim): the heap's pop clock ticks in
+        # BFS levels only across equal-value cells — once a gateway pops, it
+        # floods everything STRICTLY BELOW its level in consecutive pops
+        # (each downhill push becomes the new heap minimum), so the whole
+        # sub-level basin goes to the earliest gateway no matter how far it
+        # is (winner-take-all), and hop distance must freeze on descents.
+        # Saturate at 255 — an unconditional add would overflow the int32.
+        on_level = field == cq
+        cand_m = mq + jnp.where((mq < hops_cap) & on_level, hops_step, 0)
         valid = mq != meta_max  # unlabeled/out-of-frame sources never compete
         better = _lex_better(cq, c2q, cand_m, bc, bc2, bm) & valid
         return (
@@ -300,18 +423,36 @@ def _watershed_sweeps(
 
     def sweep(state, include_temporal):
         claim, claim2, meta = state
-        # extend the stored path pair through the pixel's own field value:
-        # (max, 2nd-max) of the path INCLUDING this pixel
+        # extend the stored path cost through the pixel's own field value.
+        # claim2 is the GATE value: the approach bottleneck at the path's
+        # last strict max rise (its gateway).  It freezes through level
+        # moves and descents — the heap decides the race between two waves
+        # AT their shared gateway saddle (label-at-push: the first wave to
+        # claim the saddle owns everything beyond it), ordered by arrival
+        # there ≈ approach bottleneck.  A running second-max instead gets
+        # contaminated by the shared post-gateway descent (both waves transit
+        # the same cells, equalising their second-maxes), measured as the -1
+        # barrier winning 820/822 exact-cost-tie pixels the heap gives to
+        # anvils (WS_CLAIM_PROBE.json).
         cost = jnp.where(seeded, field, jnp.maximum(field, claim))
         cost2 = jnp.where(
-            seeded,
-            ninf,
-            jnp.where(field >= claim, claim, jnp.maximum(claim2, field)),
+            seeded, ninf, jnp.where(field > claim, claim, claim2)
+        )
+        # plateau-relative hops: the heap pops by (value, age), so within an
+        # equal-value plateau the partition is BFS order from the plateau
+        # ENTRY points, not distance from the seed.  A source whose own
+        # field strictly raised the running max IS a plateau entry — reset
+        # its hop bits before pushing so downstream (claim, claim2) ties
+        # compare within-plateau BFS distance like the heap's age clock.
+        # The full tuple still strictly increases along every push (claim
+        # rose where hops reset), so convergence is unaffected.
+        meta_p = jnp.where(
+            ~seeded & (field > claim), meta & jnp.int32((1 << 23) - 1), meta
         )
         best = (claim, claim2, meta)
         for dy, dx in in_plane:
             cq, c2q, mq = shift2(
-                (cost, cost2, meta), dy, dx, (_INF, _INF, meta_max)
+                (cost, cost2, meta_p), dy, dx, (_INF, _INF, meta_max)
             )
             best = consider(best, cq, c2q, mq)
         if include_temporal:
@@ -327,7 +468,7 @@ def _watershed_sweeps(
                 src_flow = fwd_int if dt == 1 else bwd_int
                 cs = _shift_t(cost, -dt, _INF)
                 c2s = _shift_t(cost2, -dt, _INF)
-                ms = _shift_t(meta, -dt, meta_max)
+                ms = _shift_t(meta_p, -dt, meta_max)
                 fs = _shift_t(src_flow, -dt, 0)
                 # measured dead end: a Pallas VMEM form of this scatter
                 # (tools git history, ws_pallas banded_scatter_min_pallas)
@@ -337,7 +478,12 @@ def _watershed_sweeps(
                 # 6.9s), and fori_loop+roll rotation passes are slower still
                 # (3.7s vs 2.3s) with diverging roll semantics between the
                 # Mosaic backend and the interpreter
-                cq, c2q, mq = _banded_scatter_min(
+                scatter = (
+                    _banded_scatter_min_exact
+                    if _EXACT_SCATTER
+                    else _banded_scatter_min
+                )
+                cq, c2q, mq = scatter(
                     cs, c2s, ms, fs[..., 1] + dy, fs[..., 0] + dx, radius,
                     meta_max,
                 )
@@ -391,6 +537,161 @@ def _watershed_sweeps(
         cond, body, (state, jnp.int32(0), jnp.int32(0))
     )
     return state, used
+
+
+@persistent_jit(
+    static_argnames=("taps", "radius", "k_spatial"), donate_argnums=(5,)
+)
+def _watershed_scan_round(
+    field, markers, mask, fwd_int, bwd_int, state, taps, radius, k_spatial=4
+):
+    """One temporal Gauss–Seidel round: a forward then a backward
+    ``lax.scan`` over frames, each frame receiving the already-updated
+    neighbour's pushes plus ``k_spatial`` in-plane relaxations.
+
+    The Jacobi rounds in ``_watershed_sweeps`` propagate temporal claims one
+    frame per round, so a T-frame volume needs O(T) rounds before labels can
+    traverse the time axis — the dominant cost at day scale (T≈300).  A
+    forward/backward scan pair relaxes the same monotone operator in frame
+    order, carrying each frame's post-update (cost, cost2, meta) into its
+    successor, so one round propagates across the whole axis.  The
+    lexicographic relaxation is a shortest-path fixed point (every push
+    strictly increases the (claim, hops, claim2) tuple), so update order
+    changes only the trajectory, never the fixed point — the Jacobi
+    verification rounds that follow confirm convergence on the identical
+    operator.  Returns (state, labels_changed)."""
+    t, h, w = field.shape
+    seeded = markers != 0
+    floodable = mask & ~seeded
+    meta_max = jnp.int32(np.iinfo(np.int32).max)
+    ninf = jnp.float32(-jnp.inf)
+    label_mask = jnp.int32((1 << 23) - 1)
+    hops_step = jnp.int32(1 << 23)
+    hops_cap = jnp.int32(255 << 23)
+
+    in_plane = tuple((dy, dx) for dt, dy, dx in taps if dt == 0)
+    temporal = tuple((dt, dy, dx) for dt, dy, dx in taps if dt != 0)
+
+    def frame_cost(c, c2, m, f, sd):
+        # (max, frozen gate) of the optimal path extended through this
+        # pixel, with the plateau-relative hop reset — bit-equal to the
+        # volume form in _watershed_sweeps (see gate rationale there)
+        cost = jnp.where(sd, f, jnp.maximum(f, c))
+        cost2 = jnp.where(sd, ninf, jnp.where(f > c, c, c2))
+        meta_p = jnp.where(~sd & (f > c), m & label_mask, m)
+        return cost, cost2, meta_p
+
+    def consider(best, cq, c2q, mq, f):
+        bc, bc2, bm = best
+        # hop clock ticks only on-level (receiver field == candidate claim);
+        # frozen on descents — bit-equal to the volume form's consider
+        on_level = f == cq
+        cand_m = mq + jnp.where((mq < hops_cap) & on_level, hops_step, 0)
+        valid = mq != meta_max
+        better = _lex_better(cq, c2q, cand_m, bc, bc2, bm) & valid
+        return (
+            jnp.where(better, cq, bc),
+            jnp.where(better, c2q, bc2),
+            jnp.where(better, cand_m, bm),
+        )
+
+    def shift2d(arrs, dy, dx, fills):
+        outs = []
+        for a, fill in zip(arrs, fills):
+            padded = jnp.pad(
+                a, ((abs(dy), abs(dy)), (abs(dx), abs(dx))),
+                constant_values=fill,
+            )
+            outs.append(
+                jax.lax.dynamic_slice(padded, (abs(dy) + dy, abs(dx) + dx), (h, w))
+            )
+        return outs
+
+    def spatial_relax(c, c2, m, f, sd, fl):
+        for _ in range(k_spatial):
+            cost, cost2, meta_p = frame_cost(c, c2, m, f, sd)
+            best = (c, c2, m)
+            for dy, dx in in_plane:
+                cq, c2q, mq = shift2d(
+                    (cost, cost2, meta_p), dy, dx, (_INF, _INF, meta_max)
+                )
+                best = consider(best, cq, c2q, mq, f)
+            c = jnp.where(fl, best[0], c)
+            c2 = jnp.where(fl, best[1], c2)
+            m = jnp.where(fl, best[2], m)
+        return c, c2, m
+
+    def direction(state, dt_dir, flow, reverse):
+        claim, claim2, meta = state
+        d_taps = tuple(
+            (dy, dx) for dt, dy, dx in temporal if dt == dt_dir
+        )
+
+        def body(carry, x):
+            pc, pc2, pm, pflow = carry
+            f, sd, fl, flw, c, c2, m = x
+            best = (c, c2, m)
+            for dy, dx in d_taps:
+                cq, c2q, mq = _banded_scatter_min(
+                    pc, pc2, pm,
+                    pflow[..., 1].astype(jnp.int32) + dy,
+                    pflow[..., 0].astype(jnp.int32) + dx,
+                    radius, meta_max,
+                )
+                best = consider(best, cq, c2q, mq, f)
+            c = jnp.where(fl, best[0], c)
+            c2 = jnp.where(fl, best[1], c2)
+            m = jnp.where(fl, best[2], m)
+            c, c2, m = spatial_relax(c, c2, m, f, sd, fl)
+            cost, cost2, meta_p = frame_cost(c, c2, m, f, sd)
+            return (cost, cost2, meta_p, flw), (c, c2, m)
+
+        init = (
+            jnp.full((h, w), _INF, jnp.float32),
+            jnp.full((h, w), _INF, jnp.float32),
+            jnp.full((h, w), meta_max, jnp.int32),
+            jnp.zeros((h, w, 2), flow.dtype),
+        )
+        xs = (field, seeded, floodable, flow, claim, claim2, meta)
+        _, (nc, nc2, nm) = jax.lax.scan(body, init, xs, reverse=reverse)
+        return nc, nc2, nm
+
+    labels0 = state[2] & label_mask
+    # forward pass pushes t-1 -> t along each frame's own forward flow;
+    # backward pass pushes t+1 -> t along the backward flow (the reference
+    # heap's source-side adjacency, _watershed.pyx:308-313)
+    state = direction(state, 1, fwd_int, reverse=False)
+    state = direction(state, -1, bwd_int, reverse=True)
+    changed = jnp.any((state[2] & label_mask) != labels0)
+    return state, changed
+
+
+def _sweeps_guarded(*args, use_pallas, width, **kw):
+    """_watershed_sweeps with a one-time Pallas->XLA fallback: the probe
+    compiles a fixed-height frame, but the real dispatch's VMEM scratch
+    scales with the (height, width) actually used — if Mosaic rejects it,
+    demote this width bucket on disk and rerun with the XLA sweeps
+    (ws_pallas docstring contract: 'falls back to the XLA formulation')."""
+    if use_pallas:
+        try:
+            return _watershed_sweeps(*args, use_pallas=True, **kw), True
+        except Exception:
+            key = -(-int(width) // 128) * 128
+            _PALLAS_SPATIAL[key] = False
+            try:
+                from tobac_flow_tpu.utils.program_cache import (
+                    package_source_digest,
+                    program_cache_dir,
+                )
+
+                platform = jax.devices()[0].platform.lower()
+                (
+                    program_cache_dir()
+                    / f"pallas_probe_{platform}_{key}_{package_source_digest()}.ok"
+                ).write_text("0")
+            except Exception:
+                pass
+    return _watershed_sweeps(*args, use_pallas=False, **kw), False
 
 
 def _coarsen(a, f, reduce="max"):
@@ -460,56 +761,63 @@ def _ws_coarse_prep_jit(field_j, markers_j, mask_j, fwd_int, bwd_int, factor):
     return cf, cmask, cmark, cfwd_i, cbwd_i, cstate
 
 
+def _sep_window(a, init, op, rc):
+    """Separable (3, 2rc+1, 2rc+1) moving min/max over a (T,Hc,Wc) volume."""
+    for dims in ((3, 1, 1), (1, 2 * rc + 1, 1), (1, 1, 2 * rc + 1)):
+        a = jax.lax.reduce_window(a, init, op, dims, (1, 1, 1), "SAME")
+    return a
+
+
 @persistent_jit(static_argnames=("factor",), donate_argnums=(5,))
 def _ws_adopt_jit(cstate, cmark, field_j, markers_j, mask_j, state, factor):
-    """Adopt the coarse flood as an upper-bound initial fine state.
+    """Adopt the coarse flood as an upper-bound initial fine state — but
+    ONLY deep inside label-uniform coarse territory, for every label.
 
-    The coarse solution is upsampled and adopted wherever the fine pixel is
-    floodable and the coarse label is set; the edge-replicated crop margin is
-    excluded (no upper-bound guarantee).  Negative (barrier) coarse labels
-    are adopted ONLY deep inside barrier territory and never at boundary
-    cells: a boundary coarse cell seeded by pooled -1 markers would hand the
-    fine rim an optimal-cost -1 claim that only a long claim-relaxation tail
-    can overturn — which label-only convergence cuts off (regression:
-    test_negative_marker_boundary_multigrid).  Deep-interior -1 cells carry
-    genuinely flooded values, and without adopting them the vast -1 region
-    floods from scratch at ~1 px per sweep (hundreds of rounds at GOES-day
-    scale)."""
+    The coarse graph is block-granular: max-pooled masks and factor-divided
+    flows create adjacency the fine graph does not have, so coarse labels
+    within a flow-band's reach of a coarse label frontier are unreliable
+    (measured: adopting them costs mean anvil IoU 0.981 -> 0.945 vs the
+    serial heap, WS_TIE_PROBE.json / WS_DROP_PROBE.json — the deviation
+    concentrates at the -1/positive frontier in both directions).  A cell
+    qualifies when its whole (3, 2rc+1, 2rc+1) coarse neighbourhood — ±1
+    frame, in-plane radius covering the temporal flow band at coarse scale —
+    carries one label, leaving a ~band-wide fine frontier strip for the fine
+    flood to decide.  Interiors (the vast -1 ocean, large anvil cores) still
+    warm-start, so the V-cycle keeps its round-count win (regression:
+    test_negative_marker_boundary_multigrid).  The edge-replicated crop
+    margin is excluded (no upper-bound guarantee)."""
     t, h, w = field_j.shape
     seeded = markers_j != 0
-    cseeded = cmark != 0
     up_claim = _upsample_nearest(cstate[0], factor, h, w)
     up_meta = _upsample_nearest(cstate[2], factor, h, w)
     yi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 1)
     xi = jax.lax.broadcasted_iota(jnp.int32, (t, h, w), 2)
     in_cov = (yi < (h // factor) * factor) & (xi < (w // factor) * factor)
-    up_label = (up_meta & ((1 << 23) - 1)) - 2
-    clabel = jnp.where(
-        cstate[2] == _META_MAX, 0, (cstate[2] & ((1 << 23) - 1)) - 2
-    )
-    neg_cell = (clabel < 0) & ~cseeded
-    deep_neg = neg_cell
-    for axis, dlt in ((0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)):
-        shifted = jnp.roll(clabel < 0, dlt, axis)
-        # roll wraps; wrapped faces are barrier-adjacent only if the
-        # opposite face is — conservatively mask the wrapped slice
-        idx = jax.lax.broadcasted_iota(jnp.int32, clabel.shape, axis)
-        n_ax = clabel.shape[axis]
-        valid = (idx >= dlt) & (idx < n_ax + dlt) if dlt > 0 else (
-            (idx >= 0) & (idx < n_ax + dlt)
-        )
-        deep_neg = deep_neg & jnp.where(valid, shifted, False)
-    up_deep_neg = _upsample_nearest(
-        deep_neg.astype(jnp.int32), factor, h, w
+    lab_valid = cstate[2] != _META_MAX
+    clabel = (cstate[2] & ((1 << 23) - 1)) - 2
+    rc = -(-21 // int(factor)) + 1  # flow band in coarse cells + fuzz margin
+    big = jnp.int32(1 << 30)
+    wmax = _sep_window(jnp.where(lab_valid, clabel, big), -big, jax.lax.max, rc)
+    wmin = _sep_window(jnp.where(lab_valid, clabel, -big), big, jax.lax.min, rc)
+    deep_same = lab_valid & (wmax == clabel) & (wmin == clabel)
+    up_deep = _upsample_nearest(
+        deep_same.astype(jnp.int32), factor, h, w
     ).astype(bool)
-    adopt = (
-        mask_j
-        & ~seeded
-        & (up_meta != _META_MAX)
-        & ((up_label >= 1) | up_deep_neg)
-        & in_cov
-    )
+    adopt = mask_j & ~seeded & (up_meta != _META_MAX) & up_deep & in_cov
     adopted_claim = jnp.maximum(up_claim, field_j)
+    # Rescale the coarse hop counts to fine-grid units (x factor, saturating
+    # at the 255 cap): a raw coarse hop count is ~factor smaller than the
+    # fine path it summarises, so adopted cells would win (claim, claim2)
+    # ties against legitimate fine fronts — measured at 2/3 of the
+    # watershed-vs-heap anvil deviation (WS_TIE_PROBE.json: production IoU
+    # 0.944 vs 0.981 with multigrid off).  With the rescale the adopted meta
+    # is an upper bound in the full lexicographic order, so fine sweeps
+    # strictly improve it along every real path (same-label hop repair
+    # included) and the fixed point matches the no-multigrid flood.
+    up_hops = jnp.minimum(
+        (up_meta >> 23) * jnp.int32(factor), jnp.int32(255)
+    )
+    up_meta = (up_hops << 23) | (up_meta & ((1 << 23) - 1))
     return (
         jnp.where(adopt, adopted_claim, state[0]),
         # the coarse second-max is not an upper bound on the fine grid;
@@ -540,6 +848,7 @@ def watershed(
     return_device: bool = False,
     multigrid: bool = True,
     grace: int = 2,
+    temporal_scan: bool = True,
 ):
     """Watershed segmentation of a (T, H, W) sequence in the moving frame
     (API parity: reference ``watershed.py:17-168``).
@@ -557,6 +866,10 @@ def watershed(
         remote-worker watchdogs; convergence is checked between chunks).
     radius : band radius for the flow-displaced temporal gathers; None
         (default) adapts it to the actual maximum rounded flow.
+    temporal_scan : run forward/backward Gauss–Seidel scan rounds over the
+        time axis before the Jacobi convergence loop (same fixed point,
+        O(1) instead of O(T) rounds to traverse the axis; see
+        ``_watershed_scan_round``).
     """
     # keep device arrays on device: all preprocessing is jnp (a host numpy
     # round-trip here costs ~GBs of transfer on GOES-scale windows)
@@ -610,6 +923,25 @@ def watershed(
     # the Pallas time-tiled sweep kernel pays off once a frame outgrows its
     # block size; below that the XLA sweeps win on dispatch overhead
     use_pallas = h * w >= 256 * 256 and _pallas_spatial_usable(h, w)
+
+    run_scans = (
+        temporal_scan
+        and t >= 4
+        and any(dt != 0 for dt, _, _ in taps)
+    )
+
+    def scan_rounds(fld, mrk, msk, fwd, bwd, st, rad, cap):
+        # Gauss–Seidel rounds until labels hold still for one round (the
+        # Jacobi loop that follows re-verifies convergence of the identical
+        # operator, so a single quiet round suffices here)
+        for _ in range(cap):
+            st, changed = _watershed_scan_round(
+                fld, mrk, msk, fwd, bwd, st, taps, rad
+            )
+            if not bool(changed):
+                break
+        return st
+
     factor = 4
     if multigrid and h >= 8 * factor and w >= 8 * factor:
         # V-cycle: flood a max-pooled field first (coarse barriers >= true
@@ -619,14 +951,19 @@ def watershed(
             field_j, markers_j, mask_j, fwd_int, bwd_int, factor
         )
         cradius = max(radius // factor, 1) if radius is not None else 5
+        if run_scans:
+            cstate = scan_rounds(
+                cf, cmark, cmask, cfwd_i, cbwd_i, cstate, cradius, cap=12
+            )
         cdone = 0
         cmax = (max_iters // 2) + 8
         while cdone < cmax:
             n = min(chunk_iters, cmax - cdone)
-            cstate, used = _watershed_sweeps(
+            (cstate, used), ok = _sweeps_guarded(
                 cf, cmark, cmask, cfwd_i, cbwd_i, cstate, taps, cradius, n,
                 grace=grace,
                 use_pallas=use_pallas and (h // factor) * (w // factor) >= 256 * 256,
+                width=w // factor,
             )
             used = int(used)
             cdone += used
@@ -640,18 +977,31 @@ def watershed(
         # needs back
         del cstate, cf, cmask, cmark, cfwd_i, cbwd_i
 
+    if run_scans:
+        state = scan_rounds(
+            field_j, markers_j, mask_j, fwd_int, bwd_int, state, radius,
+            cap=12,
+        )
+
     done = 0
     while done < max_iters:
         n = min(chunk_iters, max_iters - done)
-        state, used = _watershed_sweeps(
+        (state, used), use_pallas = _sweeps_guarded(
             field_j, markers_j, mask_j, fwd_int, bwd_int, state, taps, radius, n,
-            grace=grace, use_pallas=use_pallas,
+            grace=grace, use_pallas=use_pallas, width=w,
         )
         used = int(used)
         done += used
         if used < n:  # converged inside the chunk
             break
 
+    if _os.environ.get("TFT_WS_DUMP_STATE"):
+        np.savez(
+            _os.environ["TFT_WS_DUMP_STATE"],
+            claim=np.asarray(state[0]),
+            claim2=np.asarray(state[1]),
+            meta=np.asarray(state[2]),
+        )
     out = _ws_decode_jit(state[2], markers_j, mask_j)
     if return_device:
         return out

@@ -57,10 +57,20 @@ def _shift2(a, dy, dx, fill):
 
 
 def _lex_better(c1a, c2a, ma, c1b, c2b, mb):
+    # (claim, hops, second-claim, label) — must stay bit-equal to
+    # ops/watershed._lex_better (see rationale there)
+    ha = ma >> 23
+    hb = mb >> 23
+    # -1 barrier (label code 1) loses full-tuple ties to positive labels —
+    # must stay bit-equal to ops/watershed._lex_better (rationale there)
+    lab_top = np.int32((1 << 23) - 1)
+    ka = jnp.where((ma & lab_top) == 1, ma | lab_top, ma)
+    kb = jnp.where((mb & lab_top) == 1, mb | lab_top, mb)
     return (
         (c1a < c1b)
-        | ((c1a == c1b) & (c2a < c2b))
-        | ((c1a == c1b) & (c2a == c2b) & (ma < mb))
+        | ((c1a == c1b) & (ha < hb))
+        | ((c1a == c1b) & (ha == hb) & (c2a < c2b))
+        | ((c1a == c1b) & (ha == hb) & (c2a == c2b) & (ka < kb))
     )
 
 
@@ -68,13 +78,20 @@ def _sweep_block(c, c2, m, f, sd, fl, in_plane):
     """One Jacobi relaxation of a 2D block (mirrors the sweep body in
     ops/watershed._watershed_sweeps, spatial taps only)."""
     cost = jnp.where(sd, f, jnp.maximum(f, c))
-    cost2 = jnp.where(sd, _NINF, jnp.where(f >= c, c, jnp.maximum(c2, f)))
+    # frozen gate (approach bottleneck at the last strict max rise) — must
+    # stay bit-equal to ops/watershed._watershed_sweeps (rationale there)
+    cost2 = jnp.where(sd, _NINF, jnp.where(f > c, c, c2))
+    # plateau-relative hop reset at plateau entries — must stay bit-equal to
+    # ops/watershed._watershed_sweeps (see comment there)
+    mp = jnp.where(~sd & (f > c), m & np.int32((1 << 23) - 1), m)
     bc, bc2, bm = c, c2, m
     for dy, dx in in_plane:
         cq = _shift2(cost, dy, dx, _INF)
         c2q = _shift2(cost2, dy, dx, _INF)
-        mq = _shift2(m, dy, dx, _META_MAX)
-        cand_m = mq + jnp.where(mq < _HOPS_CAP, _HOPS_STEP, 0)
+        mq = _shift2(mp, dy, dx, _META_MAX)
+        # hop clock ticks only on-level (f == candidate claim); frozen on
+        # descents — must stay bit-equal to ops/watershed.consider
+        cand_m = mq + jnp.where((mq < _HOPS_CAP) & (f == cq), _HOPS_STEP, 0)
         valid = mq != _META_MAX
         better = _lex_better(cq, c2q, cand_m, bc, bc2, bm) & valid
         bc = jnp.where(better, cq, bc)

@@ -91,7 +91,11 @@ def main(t=16, h=256, w=384, seed=0):
         ("grace16_no_mg", dict(grace=16, multigrid=False)),
         ("grace64_no_mg_iters4x", dict(grace=64, multigrid=False,
                                        max_iters=4 * (t + h + w + 32))),
+        ("r21", dict(radius=21)),
     ]
+    if len(sys.argv) > 1:  # run only the named variants
+        wanted = set(sys.argv[1:])
+        variants = [v for v in variants if v[0] in wanted]
     report = {}
     for name, kw in variants:
         t0 = time.perf_counter()
