@@ -98,6 +98,12 @@ def _cache_enabled() -> bool:
 def _aval_token(x):
     if hasattr(x, "shape") and hasattr(x, "dtype"):
         return f"{np.dtype(x.dtype).str}{tuple(x.shape)}"
+    if isinstance(x, (tuple, list)):
+        # pytree containers of arrays (e.g. the watershed's packed state)
+        # key by element avals — repr() of a device array would BLOCK on and
+        # download the whole value over the link at every call
+        inner = ",".join(_aval_token(v) for v in x)
+        return f"{type(x).__name__}({inner})"
     # python scalars become weakly-typed avals keyed by type
     return f"py:{type(x).__name__}:{x!r}"
 
