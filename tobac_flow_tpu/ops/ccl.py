@@ -72,35 +72,52 @@ def _shift1(mask, axis, direction):
     return jax.lax.dynamic_slice(padded, starts, list(mask.shape))
 
 
+def _shift_fill(arr, axis, d, fill):
+    """``arr[i - d]`` along ``axis`` with ``fill`` where ``i < d``
+    (static offset — pads + slice, no gather)."""
+    pads = [(0, 0)] * arr.ndim
+    pads[axis] = (d, 0)
+    padded = jnp.pad(arr, pads, constant_values=fill)
+    return jax.lax.slice_in_dim(padded, 0, arr.shape[axis], axis=axis)
+
+
+def _segmented_min_oneway(vals, flags, axis, big):
+    """Inclusive segmented min scan via Hillis-Steele doubling: log2(n)
+    rounds of (static shift + select + min).  ``lax.associative_scan``
+    computes the same thing but its odd/even-split lowering ran ~100x off
+    memory speed on this TPU stack (tools/ccl_probe.py); the doubling form
+    is pure elementwise traffic."""
+    n = vals.shape[axis]
+    d = 1
+    while d < n:
+        v_s = _shift_fill(vals, axis, d, big)
+        f_s = _shift_fill(flags, axis, d, True)
+        # combine (v_s, f_s) ∘ (vals, flags): identity fill is (big, True)
+        # upstream of the front edge — a True shifted flag blocks nothing
+        # extra because min(big, v) = v
+        vals = jnp.where(flags, vals, jnp.minimum(v_s, vals))
+        flags = flags | f_s
+        d *= 2
+    return vals
+
+
 def _segmented_min(vals, mask, axis):
     """Min over each contiguous masked run along ``axis`` (both directions)
-    via a segmented associative scan — no gathers."""
+    via segmented doubling scans — no gathers."""
+    big = vals.dtype.type(np.iinfo(np.int32).max)
 
-    def op(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+    prev = _shift1(mask, axis, -1)
+    flags = ~(mask & prev)  # run boundary before this element
+    fwd = _segmented_min_oneway(vals, flags, axis, big)
 
-    def one_way(vals):
-        prev = _shift1(mask, axis, -1)
-        flags = ~(mask & prev)  # run boundary before this element
-        out, _ = jax.lax.associative_scan(op, (vals, flags), axis=axis)
-        return out
-
-    fwd = one_way(vals)
-    bwd = jnp.flip(
-        _segmented_min_oneway_reversed(vals, mask, axis, op), axis=axis
-    )
-    return jnp.minimum(fwd, bwd)
-
-
-def _segmented_min_oneway_reversed(vals, mask, axis, op):
     vals_r = jnp.flip(vals, axis=axis)
     mask_r = jnp.flip(mask, axis=axis)
-    prev = _shift1(mask_r, axis, -1)
-    flags = ~(mask_r & prev)
-    out, _ = jax.lax.associative_scan(op, (vals_r, flags), axis=axis)
-    return out
+    prev_r = _shift1(mask_r, axis, -1)
+    flags_r = ~(mask_r & prev_r)
+    bwd = jnp.flip(
+        _segmented_min_oneway(vals_r, flags_r, axis, big), axis=axis
+    )
+    return jnp.minimum(fwd, bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "max_iters"))
