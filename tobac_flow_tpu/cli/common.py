@@ -73,6 +73,32 @@ class DetectionOptions:
         del self.__dict__["self"]
 
 
+def _seed_combined_field(combined, wvd, swd, sign):
+    """Seed the device transfer cache for ``wvd + sign*swd``.
+
+    The anvil marker/watershed stages consume the combined field on device;
+    deriving it there from the already-cached ``wvd``/``swd`` uploads is one
+    elementwise op vs a third full-volume trip over the host↔device link.
+    Skipped above the whole-field residency budget (GOES full-disk scale),
+    where the chunked drivers stream host slices instead."""
+    try:
+        from tobac_flow_tpu.detect.fused import WHOLE_UPLOAD_BUDGET_BYTES
+        from tobac_flow_tpu.utils.device_cache import (
+            device_put_cached,
+            seed_device_cache,
+        )
+
+        cv = np.asarray(combined.values)
+        wv = np.asarray(wvd.values)
+        sv = np.asarray(swd.values)
+        if cv.nbytes > WHOLE_UPLOAD_BUDGET_BYTES or cv.dtype != wv.dtype:
+            return
+        wd, sd = device_put_cached(wv), device_put_cached(sv)
+        seed_device_cache(cv, (wd - sd) if sign < 0 else (wd + sd))
+    except Exception:
+        pass  # seeding is an optimisation only; the upload path still works
+
+
 def run_detection(
     bt,
     wvd,
@@ -146,8 +172,11 @@ def run_detection(
 
     print(datetime.now(), "Detecting thick anvil region", flush=True)
     # build each derived field once: the marker and watershed stages share
-    # the SAME array object, so its device upload is cached across stages
+    # the SAME array object, so its device upload is cached across stages —
+    # and its device copy is SEEDED from the already-uploaded wvd/swd
+    # operands (one elementwise op) instead of a third full-volume upload
     wvd_minus_swd = wvd - swd
+    _seed_combined_field(wvd_minus_swd, wvd, swd, sign=-1.0)
     with stage("anvil_markers"):
         anvil_markers = get_anvil_markers(
             flow,
@@ -203,10 +232,12 @@ def run_detection(
 
     wvd_minus_swd = None  # free (and uncache) before the thin-anvil peak
     print(datetime.now(), "Detecting thin anvil region", flush=True)
+    wvd_plus_swd = wvd + swd
+    _seed_combined_field(wvd_plus_swd, wvd, swd, sign=1.0)
     with stage("thin_anvils"):
         thin_anvil_labels = detect_anvils(
             flow,
-            wvd + swd,
+            wvd_plus_swd,
             markers=thick_anvil_labels,
             upper_threshold=opts.thin_upper,
             lower_threshold=opts.thin_lower,

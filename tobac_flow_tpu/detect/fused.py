@@ -402,7 +402,14 @@ def fused_anvil_pre_watershed(
     Returns device-resident (edges, eroded_markers) so the watershed sees no
     host round trip."""
     field_v = _vals(field)
-    markers_v = np.ascontiguousarray(_vals(markers).astype(np.int32))
+    # keep the caller's int32 array object when possible: the post-watershed
+    # pass uploads the SAME markers, and an astype copy here would defeat the
+    # identity transfer cache (a second full-volume trip per anvil stage)
+    mv = _vals(markers)
+    if mv.dtype == np.int32 and mv.flags.c_contiguous:
+        markers_v = mv
+    else:
+        markers_v = np.ascontiguousarray(mv.astype(np.int32))
     t, h, w = field_v.shape
     chunk = _chunk_t(t, h, w, per_px_cost=64)
     halo = max(1, int(erode_distance))
@@ -463,4 +470,9 @@ def fused_anvil_post_watershed(anvil_labels, markers):
         if isinstance(markers_v, np.ndarray)
         else jnp.asarray(markers_v)
     ).astype(jnp.int32)
-    return np.asarray(_anvil_post_jit(labels_j, markers_j))
+    out = _anvil_post_jit(labels_j, markers_j)
+    # label ids are small (hundreds); read back over the slow link at int16
+    # width when they fit — halves the dominant device-to-host volume
+    if int(jnp.max(out)) < np.iinfo(np.int16).max:
+        return np.asarray(out.astype(jnp.int16)).astype(np.int32)
+    return np.asarray(out)

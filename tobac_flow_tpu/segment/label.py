@@ -115,7 +115,14 @@ def _overlap_pair_hists_device(flow, flat_labels, structure, nplus1):
     for s in range(0, t, chunk_t):
         e = min(t, s + chunk_t)
         s0, e0 = max(0, s - 1), min(t, e + 1)
-        lab = jnp.asarray(flat_labels[s0:e0])
+        # upload label chunks at the narrowest width that holds n: the ids
+        # are dense 1..n (hundreds), so int16 halves the dominant upload of
+        # every label call over the slow host↔device link
+        lab_host = flat_labels[s0:e0]
+        if nplus1 - 1 < np.iinfo(np.int16).max:
+            lab = jnp.asarray(lab_host.astype(np.int16)).astype(jnp.int32)
+        else:
+            lab = jnp.asarray(lab_host)
         fw = jnp.asarray(fwd_all[s0:e0])
         bw = jnp.asarray(bwd_all[s0:e0])
         chunk_px = (e - s) * h * w

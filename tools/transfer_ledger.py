@@ -27,6 +27,16 @@ AVAL_RE = re.compile(
     r"(host-to-device|device-to-host) transfer: "
     r"aval=ShapedArray\((\w+?)\[([\d,\s]*)\]"
 )
+# device-to-host lines use a different guard_lib format:
+#   device-to-host transfer: shape=(50,512,768), dtype=PRED, device=...
+SHAPE_RE = re.compile(
+    r"(host-to-device|device-to-host) transfer: "
+    r"shape=\(([\d,\s]*)\), dtype=(\w+)"
+)
+XLA_DTYPE_BYTES = {
+    "PRED": 1, "S8": 1, "U8": 1, "S16": 2, "U16": 2, "F16": 2, "BF16": 2,
+    "S32": 4, "U32": 4, "F32": 4, "S64": 8, "U64": 8, "F64": 8,
+}
 GUARD_TS_RE = re.compile(r"^W\d{4} (\d\d:\d\d:\d\d)")
 STAGE_RE = re.compile(
     r"^\d{4}-\d\d-\d\d (\d\d:\d\d:\d\d)[\d.]* (.+)$"
@@ -65,10 +75,15 @@ def parse(path):
                 stage = "thin_anvils"
                 continue
             m = AVAL_RE.search(line)
-            if not m:
-                continue
-            direction, dtype, dims = m.groups()
-            nbytes = DTYPE_BYTES.get(dtype, 4)
+            if m:
+                direction, dtype, dims = m.groups()
+                nbytes = DTYPE_BYTES.get(dtype, 4)
+            else:
+                m = SHAPE_RE.search(line)
+                if not m:
+                    continue
+                direction, dims, dtype = m.groups()
+                nbytes = XLA_DTYPE_BYTES.get(dtype, 4)
             for d in dims.split(","):
                 d = d.strip()
                 if d:
