@@ -46,9 +46,9 @@ def test_flat_label_matches_scipy(seed):
 
 
 def test_flat_label_device_input_dispatch_policy(monkeypatch):
-    """Device-resident input routes through the measured host policy by
-    default (identical labels, device-resident result); CCL_FORCE_DEVICE
-    re-enables the pure device formulation — still the same partition."""
+    """Device-resident input stays on device by default — doubling-scan CCL
+    + rank renumber, identical labels, device-resident result; clearing
+    CCL_DEVICE routes through the host — still the same partition."""
     import jax.numpy as jnp
 
     from tobac_flow_tpu.ops import ccl as ccl_mod
@@ -59,9 +59,29 @@ def test_flat_label_device_input_dispatch_policy(monkeypatch):
     via_policy = flat_label(jnp.asarray(mask))
     assert not isinstance(via_policy, np.ndarray)  # stays device-resident
     assert np.array_equal(np.asarray(via_policy), host)
-    monkeypatch.setattr(ccl_mod, "CCL_FORCE_DEVICE", True)
-    via_device = np.asarray(flat_label(jnp.asarray(mask)))
-    assert np.array_equal(via_device, host)
+    monkeypatch.setattr(ccl_mod, "CCL_DEVICE", False)
+    via_host = np.asarray(flat_label(jnp.asarray(mask)))
+    assert np.array_equal(via_host, host)
+
+
+def test_relabel_sequential_device_matches_host():
+    """Device rank-based renumbering reproduces the host (scipy-order)
+    renumber exactly, including across the adaptive unique-cap retry."""
+    import jax.numpy as jnp
+
+    from tobac_flow_tpu.ops import ccl as ccl_mod
+
+    rng = np.random.default_rng(11)
+    # dense speckle: several hundred components forces the k=256 -> 1024
+    # unique-cap retry
+    mask = rng.random((4, 48, 64)) > 0.55
+    raw = ccl_mod.label_components_device(jnp.asarray(mask))
+    host = ccl_mod.relabel_sequential(np.asarray(raw))
+    dev = ccl_mod.relabel_sequential_device(raw)
+    assert dev is not None
+    assert np.array_equal(np.asarray(dev), host)
+    # saturation: a cap below the component count falls back (returns None)
+    assert ccl_mod.relabel_sequential_device(raw, max_components=16) is None
 
 
 def test_flat_label_full_connectivity():

@@ -7,8 +7,11 @@ pixel starts with a unique id (its per-frame raveled index + 1) and the
 labels converge by alternating
 
   (a) neighbourhood-min propagation over the in-plane structuring element, and
-  (b) segmented min-scans along full rows and columns
-      (``lax.associative_scan`` restricted to contiguous masked runs),
+  (b) segmented min-scans along full rows and columns — Hillis-Steele
+      doubling (log2(n) rounds of static shift + select + min) restricted
+      to contiguous masked runs; ``lax.associative_scan`` computes the same
+      thing but its odd/even-split lowering ran ~100x off memory speed on
+      this TPU stack (13.8 s -> 0.16 s for a 37.7 Mpix storm mask),
 
 inside a ``lax.while_loop``.  The scans move a label across an entire
 straight run in one log-depth sweep — and, unlike the earlier
@@ -16,8 +19,9 @@ pointer-jumping formulation, contain **no gathers at all** (per-element
 gathers are the ~200-500x pathological op on this TPU stack); convergence
 is O(#bends of the component), a handful of sweeps for storm shapes.  The
 resulting partition is identical to scipy's; the component ids are then
-compressed to contiguous 1..N on host, ordered by each component's minimum
-raveled index — which reproduces scipy's raster-scan numbering exactly.
+compressed to contiguous 1..N, ordered by each component's minimum raveled
+index — which reproduces scipy's raster-scan numbering exactly — either on
+device (rank-based, :func:`relabel_sequential_device`) or on host.
 """
 
 from __future__ import annotations
@@ -30,7 +34,12 @@ import numpy as np
 
 from tobac_flow_tpu.ops.convolve import DEFAULT_STRUCTURE
 
-__all__ = ["label_components_device", "flat_label", "relabel_sequential"]
+__all__ = [
+    "label_components_device",
+    "flat_label",
+    "relabel_sequential",
+    "relabel_sequential_device",
+]
 
 
 def _plane_offsets(structure):
@@ -199,17 +208,78 @@ def relabel_sequential(raw_labels, frame_offset=True):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _rank_positive_jit(glob, uniq, k, n_zero):
+    """Dense rank of each positive id in the sorted ``uniq`` table.
+
+    out[p] = #(uniq <= glob[p]) - n_zero for foreground, 0 for background —
+    a tiled compare-and-sum (O(N·k) pure elementwise VPU traffic), NOT a
+    table gather: general gathers are the ~200-500x pathological op on this
+    TPU stack."""
+    t, h, w = glob.shape
+    flat = glob.reshape(t * h, w)
+    rows_total = flat.shape[0]
+    # bound the (rows, w, k) compare temporary to ~32M lanes
+    r_chunk = max(1, int(32_000_000 // max(w * k, 1)))
+    nblocks = -(-rows_total // r_chunk)
+    pad = nblocks * r_chunk - rows_total
+    flat_p = jnp.pad(flat, ((0, pad), (0, 0)))
+    blocks = flat_p.reshape(nblocks, r_chunk, w)
+
+    def row_block(rows):
+        return (rows[..., None] >= uniq[None, None, :]).sum(
+            -1, dtype=jnp.int32
+        )
+
+    ranks = jax.lax.map(row_block, blocks).reshape(-1, w)[:rows_total]
+    out = jnp.where(flat > 0, ranks - n_zero, 0)
+    return out.reshape(t, h, w)
+
+
+def relabel_sequential_device(raw_labels, frame_offset=True,
+                              max_components=4096):
+    """Device-side contiguous 1..N renumbering of ``label_components_device``
+    output — same frame-major/raster ordering as :func:`relabel_sequential`
+    (i.e. scipy's numbering), with no host transfer.
+
+    Returns ``None`` when the component count exceeds ``max_components``
+    (the O(N·k) ranking would stop being cheap) — callers fall back to the
+    host renumber."""
+    raw = jnp.asarray(raw_labels)
+    t, h, w = raw.shape
+    if frame_offset:
+        off = jax.lax.broadcasted_iota(jnp.int32, (t, 1, 1), 0) * jnp.int32(
+            h * w
+        )
+        glob = jnp.where(raw > 0, raw + off, 0)
+    else:
+        glob = jnp.asarray(raw, jnp.int32)
+    k = 256
+    while True:
+        uniq = jnp.unique(glob, size=k, fill_value=0)
+        n_pos = int((uniq > 0).sum())
+        # saturated iff every slot is occupied by a distinct value (zeros
+        # pad the front; one zero slot is the background itself)
+        if n_pos < k - 1:
+            break
+        if k >= max_components:
+            return None
+        k = min(k * 4, max_components)
+    return _rank_positive_jit(glob, uniq, k, jnp.int32(k - n_pos))
+
+
 # Dispatch policy for device-resident inputs, measured on the TPU rig
-# (tools/ccl_probe.py, 24x1024x1536 storm mask):
-#   device segmented-scan CCL : 13.8 s  (the associative scans lower ~100x
-#                                        off memory speed on this stack)
-#   host round trip           :  4.6 s  (bool readback + scipy union-find +
-#                                        label upload, slow-tunnel link)
-#   host scipy (host input)   :  0.37 s
-# The host round trip beats the device formulation 3x even over the slow
-# tunnel (PCIe hosts widen the gap), so device inputs route through the
-# host by default; set CCL_FORCE_DEVICE to study the device path.
-CCL_FORCE_DEVICE = False
+# (24x1024x1536 storm mask, 1.95% foreground, 37.7 Mpix):
+#   device CCL (doubling scans) : 0.16 s  (233 Mpix/s; the earlier
+#                                 lax.associative_scan form lowered ~100x
+#                                 off memory speed — 13.8 s)
+#   host round trip             : 5.4 s   (bool readback + scipy union-find
+#                                 + label upload, slow-tunnel link)
+#   host scipy (host input)     : 0.37 s  (365.8 Mpix/s)
+# Device inputs therefore stay on device (CCL + rank-based renumber);
+# clearing CCL_DEVICE routes them through the host instead (the pre-fix
+# policy, kept for A/B measurement).
+CCL_DEVICE = True
 
 
 def flat_label(mask, structure=DEFAULT_STRUCTURE, dtype=np.int32):
@@ -218,10 +288,12 @@ def flat_label(mask, structure=DEFAULT_STRUCTURE, dtype=np.int32):
     ``utils/label_utils.py:143-180``).
 
     Dispatch policy (measured — see table above): host numpy input runs
-    scipy's serial union-find directly; device-resident input is read back,
-    labelled on host and re-uploaded — the fastest measured route for
-    device callers too.  ``label_components_device`` remains the pure
-    device formulation (no host transfer) for callers inside jit."""
+    scipy's serial union-find directly (still the fastest for host-resident
+    data); device-resident input stays on device — doubling-scan CCL +
+    rank-based renumber, 34x the host round trip over the tunnel — and the
+    result is returned device-resident.  Falls back to the host route when
+    the component count exceeds the device renumber's cap or when
+    ``CCL_DEVICE`` is cleared."""
     if isinstance(mask, np.ndarray):
         from scipy import ndimage
 
@@ -235,10 +307,10 @@ def flat_label(mask, structure=DEFAULT_STRUCTURE, dtype=np.int32):
             out[i] = np.where(lab > 0, lab + offset, 0)
             offset += n
         return out.astype(dtype)
-    if not CCL_FORCE_DEVICE:
-        import jax.numpy as jnp
-
-        host = flat_label(np.asarray(mask), structure=structure, dtype=dtype)
-        return jnp.asarray(host)
-    raw = label_components_device(mask, structure=structure)
-    return relabel_sequential(raw).astype(dtype)
+    if CCL_DEVICE:
+        raw = label_components_device(mask, structure=structure)
+        labels = relabel_sequential_device(raw)
+        if labels is not None:
+            return labels.astype(dtype)
+    host = flat_label(np.asarray(mask), structure=structure, dtype=dtype)
+    return jnp.asarray(host)
