@@ -269,16 +269,25 @@ def relabel_sequential_device(raw_labels, frame_offset=True,
 
 
 # Dispatch policy for device-resident inputs, measured on the TPU rig
-# (24x1024x1536 storm mask, 1.95% foreground, 37.7 Mpix):
-#   device CCL (doubling scans) : 0.16 s  (233 Mpix/s; the earlier
-#                                 lax.associative_scan form lowered ~100x
-#                                 off memory speed — 13.8 s)
+# (24x1024x1536 storm mask, 1.95% foreground, 37.7 Mpix, 669 components):
+#   device CCL (doubling scans) : 0.16 s  (233 Mpix/s scan alone; the
+#                                 earlier lax.associative_scan form lowered
+#                                 ~100x off memory speed — 13.8 s)
+#   + device renumber           : ~3.2 s total for flat_label (≈12 Mpix/s,
+#                                 bench.py ccl_mpix_per_s) — the sequential-
+#                                 numbering contract costs a full-volume
+#                                 jnp.unique sort per saturation round plus
+#                                 one small uniq-table sync
 #   host round trip             : 5.4 s   (bool readback + scipy union-find
 #                                 + label upload, slow-tunnel link)
 #   host scipy (host input)     : 0.37 s  (365.8 Mpix/s)
-# Device inputs therefore stay on device (CCL + rank-based renumber);
+# Device inputs therefore stay on device (CCL + rank-based renumber beats
+# the host round trip and keeps residency for the downstream fused stages);
 # clearing CCL_DEVICE routes them through the host instead (the pre-fix
-# policy, kept for A/B measurement).
+# policy, kept for A/B measurement).  bench.py's ccl_vs_baseline compares
+# against host scipy on a HOST-resident mask — the number production never
+# sees from device-resident data; the governing comparison is the 5.4 s
+# round trip.
 CCL_DEVICE = True
 
 
@@ -290,7 +299,8 @@ def flat_label(mask, structure=DEFAULT_STRUCTURE, dtype=np.int32):
     Dispatch policy (measured — see table above): host numpy input runs
     scipy's serial union-find directly (still the fastest for host-resident
     data); device-resident input stays on device — doubling-scan CCL +
-    rank-based renumber, 34x the host round trip over the tunnel — and the
+    rank-based renumber, ~1.7x the host round trip over the tunnel (the
+    scan alone is 34x; sequential renumbering pays a sort) — and the
     result is returned device-resident.  Falls back to the host route when
     the component count exceeds the device renumber's cap or when
     ``CCL_DEVICE`` is cleared."""
