@@ -66,22 +66,20 @@ def test_flat_label_device_input_dispatch_policy(monkeypatch):
 
 def test_relabel_sequential_device_matches_host():
     """Device rank-based renumbering reproduces the host (scipy-order)
-    renumber exactly, including across the adaptive unique-cap retry."""
+    renumber exactly, with no component-count cap (the dense speckle below
+    produces several hundred components — well past the 4096-cap regime the
+    old saturation-loop implementation fell over on)."""
     import jax.numpy as jnp
 
     from tobac_flow_tpu.ops import ccl as ccl_mod
 
     rng = np.random.default_rng(11)
-    # dense speckle: several hundred components forces the k=256 -> 1024
-    # unique-cap retry
     mask = rng.random((4, 48, 64)) > 0.55
     raw = ccl_mod.label_components_device(jnp.asarray(mask))
     host = ccl_mod.relabel_sequential(np.asarray(raw))
     dev = ccl_mod.relabel_sequential_device(raw)
     assert dev is not None
     assert np.array_equal(np.asarray(dev), host)
-    # saturation: a cap below the component count falls back (returns None)
-    assert ccl_mod.relabel_sequential_device(raw, max_components=16) is None
 
 
 def test_flat_label_full_connectivity():

@@ -84,7 +84,9 @@ def test_sharded_detect_step_runs(mesh):
     out = sharded_detect_step(
         mesh, bt, wvd, swd, hx=4, ws_sweeps=2, warp_radius=6
     )
-    fwd, bwd, markers, core_labels, edges, labels = [np.asarray(o) for o in out]
+    fwd, bwd, markers, core_labels, edges, labels, _mask = [
+        np.asarray(o) for o in out
+    ]
     assert fwd.shape == (t, h, w, 2)
     assert np.isfinite(fwd).all()
     assert core_labels.shape == (t, h, w)
@@ -146,7 +148,7 @@ def test_sharded_full_chain_matches_single_chip():
         np.asarray(swd.values), flows=(fwd, bwd),
         hx=17, warp_radius=6, ws_sweeps=2,
     )
-    _, _, markers_sh, core_labels_sh, edges_sh, _ = [
+    _, _, markers_sh, core_labels_sh, edges_sh, _, _ = [
         np.asarray(o) for o in out
     ]
 
@@ -178,6 +180,79 @@ def test_sharded_full_chain_matches_single_chip():
     assert np.allclose(edges_sh[ok], edges_sc[ok], atol=1e-4)
     # seed support (ids are globally-unique pixel ids in the sharded form)
     assert np.array_equal(edges_sh < np.inf, edges_sc < np.inf)
+
+
+def test_sharded_detect_all_matches_single_chip():
+    """The COMPLETE sharded chain — flow science, anvil markers, thick
+    watershed, overlap-threshold relabel, thin watershed — against the
+    single-chip functions under injected identical flows.  Marker labels are
+    exact (same host code path); the watershed partitions agree up to the
+    sharded kernel's simpler tie semantics (>= 99% of labeled pixels)."""
+    from tests.synthetic import growing_storm_scene
+
+    from tobac_flow_tpu.core.flow import Flow, create_flow
+    from tobac_flow_tpu.detect.detection import (
+        detect_anvils,
+        get_anvil_markers,
+        relabel_anvils,
+    )
+    from tobac_flow_tpu.parallel.pipeline import sharded_detect_all
+
+    t, h, w = 8, 48, 64
+    bt, wvd, swd = growing_storm_scene(t=t, h=h, w=w, seed=2)
+    bt_v = np.asarray(bt.values)
+    wvd_v = np.asarray(wvd.values)
+    swd_v = np.asarray(swd.values)
+    cf = create_flow(bt_v, vr_steps=1, smoothing_passes=1,
+                     interp_method="cubic")
+    fwd = np.clip(np.asarray(cf.forward_flow), -6, 6)
+    bwd = np.clip(np.asarray(cf.backward_flow), -6, 6)
+    flow = Flow(fwd, bwd)
+
+    mesh = make_mesh(n_t=2, n_x=2)
+    out = sharded_detect_all(
+        mesh, bt_v, wvd_v, swd_v, flows=(fwd, bwd),
+        hx=17, warp_radius=6, ws_sweeps=64,
+    )
+
+    # single-chip chain, same thresholds (cli/common.py defaults)
+    markers_sc = np.asarray(
+        get_anvil_markers(
+            flow, wvd_v - swd_v, threshold=-5.0, overlap=0.5,
+            absolute_overlap=4, min_length=3,
+        )
+    )
+    assert np.array_equal(out["anvil_marker_labels"], markers_sc)
+    assert markers_sc.max() >= 1
+
+    thick_sc = np.asarray(
+        detect_anvils(
+            flow, wvd_v - swd_v, markers=markers_sc, upper_threshold=-5.0,
+            lower_threshold=-12.5, erode_distance=2, min_length=3,
+        )
+    )
+    thick_sc = np.asarray(
+        relabel_anvils(
+            flow, thick_sc, markers=markers_sc, overlap=0.5,
+            absolute_overlap=4, min_length=3,
+        )
+    )
+    thin_sc = np.asarray(
+        detect_anvils(
+            flow, wvd_v + swd_v, markers=thick_sc, upper_threshold=0.0,
+            lower_threshold=-7.5, erode_distance=2, min_length=3,
+        )
+    )
+
+    for key, sc in (
+        ("thick_anvil_labels", thick_sc),
+        ("thin_anvil_labels", thin_sc),
+    ):
+        sh = out[key]
+        assert sc.max() >= 1
+        both = (sh != 0) | (sc != 0)
+        agree = (sh[both] == sc[both]).mean()
+        assert agree >= 0.99, f"{key}: only {agree:.3%} agreement"
 
 
 def test_sharded_flow_label_zero_flow_matches_scipy():

@@ -275,3 +275,40 @@ def test_negative_marker_boundary_multigrid():
     )
     assert np.all(out[mask] == 1)
     assert np.all(out[~mask] == -1)
+
+
+def test_time_chunked_matches_whole_volume(monkeypatch):
+    """The HBM-bounded time-chunked flood (block Gauss-Seidel over
+    overlapping chunks with frozen boundary-condition frames) must reproduce
+    the whole-volume flood on a moving multi-basin scene — including labels
+    that propagate across chunk boundaries through the flow."""
+    rng = np.random.default_rng(3)
+    t, h, w = 16, 24, 32
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    field = np.empty((t, h, w), np.float32)
+    centers = [(8, 6), (8, 22), (16, 14)]
+    for i in range(t):
+        field[i] = 10.0
+        for cy, cx in centers:
+            r2 = (yy - cy) ** 2 + (xx - cx - 0.5 * i) ** 2
+            field[i] = np.minimum(field[i], 0.08 * r2)
+    field += rng.normal(0, 1e-3, field.shape).astype(np.float32)
+    markers = np.zeros((t, h, w), np.int32)
+    for k, (cy, cx) in enumerate(centers, start=1):
+        markers[0, cy, cx] = k  # seeds only in frame 0: labels must cross
+        # every chunk boundary through the temporal taps
+    fwd = np.zeros((t, h, w, 2), np.float32)
+    bwd = np.zeros((t, h, w, 2), np.float32)
+    fwd[..., 0] = 0.5
+    bwd[..., 0] = -0.5
+
+    whole = watershed(fwd, bwd, field, markers)
+    # force ~4 chunks through the HBM budget gate
+    monkeypatch.setenv(
+        "TFT_WS_HBM_BUDGET_BYTES", str(t * h * w * 40 // 4)
+    )
+    chunked = watershed(fwd, bwd, field, markers)
+    assert isinstance(chunked, np.ndarray)
+    assert (whole != 0).all()
+    agree = (chunked == whole).mean()
+    assert agree > 0.995, f"chunked flood agreement {agree:.4%}"

@@ -460,11 +460,35 @@ def fused_anvil_pre_watershed(
 
 def fused_anvil_post_watershed(anvil_labels, markers):
     """detection.py:407-413 on device: clamp negatives, opening-mask, marker
-    override.  Accepts device or host arrays; returns host int32."""
-    labels_j = jnp.asarray(
-        getattr(anvil_labels, "values", anvil_labels)
-    ).astype(jnp.int32)
+    override.  Accepts device or host arrays; returns host int32.
+
+    A HOST label volume above the residency budget (the time-chunked
+    watershed's output at CONUS scale) is processed in time chunks — the
+    post pass is purely in-plane (clamp, cross-structure opening, marker
+    override), so halo-free chunking is exact."""
+    lab_v = getattr(anvil_labels, "values", anvil_labels)
     markers_v = _vals(markers)
+    if (
+        isinstance(lab_v, np.ndarray)
+        and lab_v.nbytes > WHOLE_UPLOAD_BUDGET_BYTES
+    ):
+        t, h, w = lab_v.shape
+        chunk = max(8, _chunk_t(t, h, w, per_px_cost=16))
+        out = np.empty((t, h, w), np.int32)
+        for s in range(0, t, chunk):
+            e = min(t, s + chunk)
+            res = _anvil_post_jit(
+                jnp.asarray(lab_v[s:e].astype(np.int32)),
+                jnp.asarray(np.ascontiguousarray(markers_v[s:e])).astype(
+                    jnp.int32
+                ),
+            )
+            if int(jnp.max(res)) < np.iinfo(np.int16).max:
+                out[s:e] = np.asarray(res.astype(jnp.int16))
+            else:
+                out[s:e] = np.asarray(res)
+        return out
+    labels_j = jnp.asarray(lab_v).astype(jnp.int32)
     markers_j = (
         device_put_cached(markers_v)
         if isinstance(markers_v, np.ndarray)

@@ -208,64 +208,52 @@ def relabel_sequential(raw_labels, frame_offset=True):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _rank_positive_jit(glob, uniq, k, n_zero):
-    """Dense rank of each positive id in the sorted ``uniq`` table.
+@jax.jit
+def _rank_back_jit(glob):
+    """Dense contiguous 1..N renumber of positive ids, entirely on device.
 
-    out[p] = #(uniq <= glob[p]) - n_zero for foreground, 0 for background —
-    a tiled compare-and-sum (O(N·k) pure elementwise VPU traffic), NOT a
-    table gather: general gathers are the ~200-500x pathological op on this
-    TPU stack."""
-    t, h, w = glob.shape
-    flat = glob.reshape(t * h, w)
-    rows_total = flat.shape[0]
-    # bound the (rows, w, k) compare temporary to ~32M lanes
-    r_chunk = max(1, int(32_000_000 // max(w * k, 1)))
-    nblocks = -(-rows_total // r_chunk)
-    pad = nblocks * r_chunk - rows_total
-    flat_p = jnp.pad(flat, ((0, pad), (0, 0)))
-    blocks = flat_p.reshape(nblocks, r_chunk, w)
+    Two key-sorts and a cumsum — no gathers, no scatters (both are the
+    pathological ops on this TPU stack), no component-count cap:
 
-    def row_block(rows):
-        return (rows[..., None] >= uniq[None, None, :]).sum(
-            -1, dtype=jnp.int32
-        )
+      1. sort the flat ids carrying their source positions,
+      2. rank each sorted element by a cumsum of is-new-positive-value flags
+         (ids are dense-ranked in ascending order = the frame-major/raster
+         component order the sequential-numbering contract requires),
+      3. key-sort the ranks by source position to invert the permutation.
 
-    ranks = jax.lax.map(row_block, blocks).reshape(-1, w)[:rows_total]
-    out = jnp.where(flat > 0, ranks - n_zero, 0)
-    return out.reshape(t, h, w)
+    Replaces the earlier jnp.unique saturation loop (a full-volume sort PER
+    retry round, k<=4096 components) and its O(N·k) compare-and-sum rank
+    pass — this form is O(N log N) flat regardless of component count."""
+    shape = glob.shape
+    flat = glob.ravel()
+    idx = jax.lax.iota(jnp.int32, flat.shape[0])
+    s, perm = jax.lax.sort_key_val(flat, idx)
+    prev = jnp.concatenate([jnp.full((1,), -1, s.dtype), s[:-1]])
+    ranks = jnp.cumsum(((s != prev) & (s > 0)).astype(jnp.int32))
+    ranks = jnp.where(s > 0, ranks, 0)
+    _, out = jax.lax.sort_key_val(perm, ranks)
+    return out.reshape(shape)
 
 
-def relabel_sequential_device(raw_labels, frame_offset=True,
-                              max_components=4096):
+def relabel_sequential_device(raw_labels, frame_offset=True):
     """Device-side contiguous 1..N renumbering of ``label_components_device``
     output — same frame-major/raster ordering as :func:`relabel_sequential`
-    (i.e. scipy's numbering), with no host transfer.
+    (i.e. scipy's numbering), with no host transfer and no component cap.
 
-    Returns ``None`` when the component count exceeds ``max_components``
-    (the O(N·k) ranking would stop being cheap) — callers fall back to the
-    host renumber."""
+    Returns ``None`` only when the frame-offset ids would overflow int32
+    (x64 is disabled under jit) — callers fall back to the host renumber."""
     raw = jnp.asarray(raw_labels)
     t, h, w = raw.shape
     if frame_offset:
+        if t * h * w + 1 >= np.iinfo(np.int32).max:
+            return None
         off = jax.lax.broadcasted_iota(jnp.int32, (t, 1, 1), 0) * jnp.int32(
             h * w
         )
         glob = jnp.where(raw > 0, raw + off, 0)
     else:
         glob = jnp.asarray(raw, jnp.int32)
-    k = 256
-    while True:
-        uniq = jnp.unique(glob, size=k, fill_value=0)
-        n_pos = int((uniq > 0).sum())
-        # saturated iff every slot is occupied by a distinct value (zeros
-        # pad the front; one zero slot is the background itself)
-        if n_pos < k - 1:
-            break
-        if k >= max_components:
-            return None
-        k = min(k * 4, max_components)
-    return _rank_positive_jit(glob, uniq, k, jnp.int32(k - n_pos))
+    return _rank_back_jit(glob)
 
 
 # Dispatch policy for device-resident inputs, measured on the TPU rig
@@ -273,11 +261,11 @@ def relabel_sequential_device(raw_labels, frame_offset=True,
 #   device CCL (doubling scans) : 0.16 s  (233 Mpix/s scan alone; the
 #                                 earlier lax.associative_scan form lowered
 #                                 ~100x off memory speed — 13.8 s)
-#   + device renumber           : ~3.2 s total for flat_label (≈12 Mpix/s,
-#                                 bench.py ccl_mpix_per_s) — the sequential-
-#                                 numbering contract costs a full-volume
-#                                 jnp.unique sort per saturation round plus
-#                                 one small uniq-table sync
+#   + device renumber           : the sequential-numbering contract costs
+#                                 two full-volume key-sorts (_rank_back_jit;
+#                                 the earlier jnp.unique saturation loop paid
+#                                 one sort PER retry round and capped at 4096
+#                                 components)
 #   host round trip             : 5.4 s   (bool readback + scipy union-find
 #                                 + label upload, slow-tunnel link)
 #   host scipy (host input)     : 0.37 s  (365.8 Mpix/s)
@@ -301,9 +289,9 @@ def flat_label(mask, structure=DEFAULT_STRUCTURE, dtype=np.int32):
     data); device-resident input stays on device — doubling-scan CCL +
     rank-based renumber, ~1.7x the host round trip over the tunnel (the
     scan alone is 34x; sequential renumbering pays a sort) — and the
-    result is returned device-resident.  Falls back to the host route when
-    the component count exceeds the device renumber's cap or when
-    ``CCL_DEVICE`` is cleared."""
+    result is returned device-resident.  Falls back to the host route only
+    when the frame-offset ids would overflow int32 or ``CCL_DEVICE`` is
+    cleared."""
     if isinstance(mask, np.ndarray):
         from scipy import ndimage
 

@@ -66,6 +66,8 @@ _INF = np.float32(np.inf)
 import os as _os
 
 _EXACT_SCATTER = _os.environ.get("TFT_WS_EXACT_SCATTER", "") == "1"
+# diagnostic: per-call round/radius/timing prints (TFT_WS_VERBOSE=1)
+_VERBOSE = _os.environ.get("TFT_WS_VERBOSE", "") == "1"
 
 # per-width probe cache: padded-width bucket -> True/False (the kernel's
 # VMEM working set scales with frame width, so usability is width-dependent)
@@ -317,11 +319,15 @@ def _banded_scatter_min(cost_s, cost2_s, meta_s, disp_y, disp_x, radius, meta_ma
             ),
         )
 
+    # join each carry init with a dead read of the inputs: inside shard_map
+    # the loop carry must have the inputs' varying type, and a constant init
+    # is replicated (fori carry input/output types must match)
+    dead = jnp.zeros((), bool)
     lane0 = (
-        jnp.full(cost_s.shape, _INF, cost_s.dtype),
-        jnp.full(cost_s.shape, _INF, cost_s.dtype),
-        jnp.full(meta_s.shape, meta_max, meta_s.dtype),
-        jnp.zeros(dx.shape, jnp.int32),
+        jnp.where(dead, cost_s, jnp.full(cost_s.shape, _INF, cost_s.dtype)),
+        jnp.where(dead, cost2_s, jnp.full(cost_s.shape, _INF, cost_s.dtype)),
+        jnp.where(dead, meta_s, jnp.full(meta_s.shape, meta_max, meta_s.dtype)),
+        jnp.where(dead, dx, jnp.zeros(dx.shape, jnp.int32)),
     )
     lane_a, lane_b = jax.lax.fori_loop(
         0, 2 * radius + 1, pass_y, (lane0, lane0)
@@ -353,7 +359,7 @@ def _banded_scatter_min(cost_s, cost2_s, meta_s, disp_y, disp_x, radius, meta_ma
 @persistent_jit(
     static_argnames=(
         "taps", "radius", "n_iters", "spatial_per_temporal", "grace",
-        "use_pallas",
+        "use_pallas", "label_only",
     ),
     # the packed state is rewritten every chunk: donating it lets XLA reuse
     # the ~1.4 GB of buffers instead of holding input + output copies
@@ -361,7 +367,7 @@ def _banded_scatter_min(cost_s, cost2_s, meta_s, disp_y, disp_x, radius, meta_ma
 )
 def _watershed_sweeps(
     field, markers, mask, fwd_int, bwd_int, state, taps, radius, n_iters,
-    spatial_per_temporal=8, grace=2, use_pallas=False,
+    spatial_per_temporal=8, grace=2, use_pallas=False, label_only=True,
 ):
     """Run up to n_iters sweep rounds; returns (state, rounds_used).
 
@@ -527,10 +533,20 @@ def _watershed_sweeps(
         state, quiet, it = carry
         new = sweep(state, True)
         new = run_spatial(new)
-        labels_changed = jnp.any(
-            (new[2] & label_mask) != (state[2] & label_mask)
-        )
-        quiet = jnp.where(labels_changed, 0, quiet + 1)
+        if label_only:
+            changed = jnp.any(
+                (new[2] & label_mask) != (state[2] & label_mask)
+            )
+        else:
+            # full-state convergence: the barrier-first pre-flood must hand
+            # phase 1 its FINAL claim field — label-quiet is vacuous when
+            # every labeled cell carries the same (-1) label
+            changed = (
+                jnp.any(new[2] != state[2])
+                | jnp.any(new[0] != state[0])
+                | jnp.any(new[1] != state[1])
+            )
+        quiet = jnp.where(changed, 0, quiet + 1)
         return new, quiet, it + 1
 
     state, _, used = jax.lax.while_loop(
@@ -540,10 +556,12 @@ def _watershed_sweeps(
 
 
 @persistent_jit(
-    static_argnames=("taps", "radius", "k_spatial"), donate_argnums=(5,)
+    static_argnames=("taps", "radius", "k_spatial", "label_only"),
+    donate_argnums=(5,),
 )
 def _watershed_scan_round(
-    field, markers, mask, fwd_int, bwd_int, state, taps, radius, k_spatial=4
+    field, markers, mask, fwd_int, bwd_int, state, taps, radius, k_spatial=4,
+    label_only=True,
 ):
     """One temporal Gauss–Seidel round: a forward then a backward
     ``lax.scan`` over frames, each frame receiving the already-updated
@@ -656,13 +674,21 @@ def _watershed_scan_round(
         _, (nc, nc2, nm) = jax.lax.scan(body, init, xs, reverse=reverse)
         return nc, nc2, nm
 
+    state0 = state
     labels0 = state[2] & label_mask
     # forward pass pushes t-1 -> t along each frame's own forward flow;
     # backward pass pushes t+1 -> t along the backward flow (the reference
     # heap's source-side adjacency, _watershed.pyx:308-313)
     state = direction(state, 1, fwd_int, reverse=False)
     state = direction(state, -1, bwd_int, reverse=True)
-    changed = jnp.any((state[2] & label_mask) != labels0)
+    if label_only:
+        changed = jnp.any((state[2] & label_mask) != labels0)
+    else:
+        changed = (
+            jnp.any(state[2] != state0[2])
+            | jnp.any(state[0] != state0[0])
+            | jnp.any(state[1] != state0[1])
+        )
     return state, changed
 
 
@@ -835,6 +861,355 @@ def _ws_decode_jit(meta, markers_j, mask_j):
     return jnp.where((markers_j != 0) | (mask_j & (label != 0)), label, 0)
 
 
+def _flood_state(
+    field_j, markers_j, mask_j, fwd_int, bwd_int, state, taps, radius, *,
+    max_iters, chunk_iters, grace, use_pallas, run_scans, multigrid,
+    label_only=True, barrier_first=True,
+):
+    """Run the full flood schedule (coarse V-cycle -> temporal scans ->
+    Jacobi verification) on device-resident inputs and return the converged
+    packed state.  Shared by the whole-volume path (``watershed``) and the
+    HBM-bounded time-chunked path (``_watershed_time_chunked``).
+
+    ``barrier_first``: when the markers mix -1 barrier seeds with positive
+    labels, flood the barrier ALONE to full-state convergence first and seed
+    the mixed flood with its final claim field.  The temporal scan rounds
+    otherwise race positive claims across the whole time axis while the
+    barrier's claims relax silently (no label change), and the label-only
+    convergence grace freezes the over-reach — measured as the thin-anvil
+    flood over-running the serial-heap oracle by ~800 px/scene.  The
+    barrier's claim field is independent of the positive seeds (no path
+    relaxes THROUGH a frozen seed cell), so the pre-flood computes exactly
+    the mixed system's final barrier claims; phase 2's remaining
+    corrections all flip labels, which the label-only check sees."""
+    import time as _time
+
+    t, h, w = field_j.shape
+
+    if (
+        barrier_first
+        and label_only
+        and _os.environ.get("TFT_WS_BARRIER_FIRST", "1") != "0"
+        and bool(jnp.any(markers_j < 0))
+        and bool(jnp.any(markers_j > 0))
+    ):
+        neg = jnp.where(markers_j < 0, markers_j, 0)
+        seeded0 = neg != 0
+        state0 = (
+            jnp.where(seeded0, -jnp.inf, jnp.inf).astype(jnp.float32),
+            jnp.where(seeded0, -jnp.inf, jnp.inf).astype(jnp.float32),
+            jnp.where(seeded0, neg + 2, _META_MAX).astype(jnp.int32),
+        )
+        t0 = _time.perf_counter()
+        state0 = _flood_state(
+            field_j, neg, mask_j & (markers_j <= 0), fwd_int, bwd_int,
+            state0, taps, radius, max_iters=max_iters,
+            chunk_iters=chunk_iters, grace=1, use_pallas=use_pallas,
+            run_scans=run_scans, multigrid=multigrid, label_only=False,
+            barrier_first=False,
+        )
+        if _VERBOSE:
+            print(
+                f"[ws] barrier pre-flood: {_time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+        # merge: elementwise lexicographic best of the incoming state (seeds,
+        # chunk boundary conditions) and the final barrier state — both are
+        # achievable path-weight states, so the mixed relaxation still
+        # converges monotonically to the same fixed point
+        better0 = _lex_better(
+            state0[0], state0[1], state0[2], state[0], state[1], state[2]
+        )
+        state = tuple(
+            jnp.where(better0, a, b) for a, b in zip(state0, state)
+        )
+        del state0
+
+    def scan_rounds(fld, mrk, msk, fwd, bwd, st, rad, cap, tag=""):
+        # Gauss–Seidel rounds until labels hold still for one round (the
+        # Jacobi loop that follows re-verifies convergence of the identical
+        # operator, so a single quiet round suffices here)
+        for i in range(cap):
+            t0 = _time.perf_counter()
+            st, changed = _watershed_scan_round(
+                fld, mrk, msk, fwd, bwd, st, taps, rad,
+                label_only=label_only,
+            )
+            changed = bool(changed)  # forces sync: honest per-round timing
+            if _VERBOSE:
+                print(
+                    f"[ws]{tag} scan round {i}: {_time.perf_counter() - t0:.2f}s"
+                    f" changed={changed}",
+                    flush=True,
+                )
+            if not changed:
+                break
+        return st
+
+    factor = 4
+    if multigrid and h >= 8 * factor and w >= 8 * factor:
+        # V-cycle: flood a max-pooled field first (coarse barriers >= true
+        # barriers, so the upsampled claims are upper bounds and full-res
+        # sweeps relax monotonically to the same fixed point), then refine.
+        cf, cmask, cmark, cfwd_i, cbwd_i, cstate = _ws_coarse_prep_jit(
+            field_j, markers_j, mask_j, fwd_int, bwd_int, factor
+        )
+        cradius = max(radius // factor, 1) if radius is not None else 5
+        if run_scans:
+            cstate = scan_rounds(
+                cf, cmark, cmask, cfwd_i, cbwd_i, cstate, cradius, cap=12,
+                tag=" coarse",
+            )
+        cdone = 0
+        cmax = (max_iters // 2) + 8
+        while cdone < cmax:
+            n = min(chunk_iters, cmax - cdone)
+            t0 = _time.perf_counter()
+            (cstate, used), ok = _sweeps_guarded(
+                cf, cmark, cmask, cfwd_i, cbwd_i, cstate, taps, cradius, n,
+                grace=grace, label_only=label_only,
+                use_pallas=use_pallas and (h // factor) * (w // factor) >= 256 * 256,
+                width=w // factor,
+            )
+            used = int(used)
+            if _VERBOSE:
+                print(
+                    f"[ws] coarse jacobi chunk: {used}/{n} rounds in "
+                    f"{_time.perf_counter() - t0:.2f}s (radius={cradius})",
+                    flush=True,
+                )
+            cdone += used
+            if used < n:
+                break
+        state = _ws_adopt_jit(
+            cstate, cmark, field_j, markers_j, mask_j, state, factor
+        )
+        # free the coarse-grid device buffers before the fine dispatches —
+        # at GOES-day scale they are several hundred MB of HBM the flood
+        # needs back
+        del cstate, cf, cmask, cmark, cfwd_i, cbwd_i
+
+    if run_scans:
+        state = scan_rounds(
+            field_j, markers_j, mask_j, fwd_int, bwd_int, state, radius,
+            cap=12, tag=" fine",
+        )
+
+    done = 0
+    while done < max_iters:
+        n = min(chunk_iters, max_iters - done)
+        t0 = _time.perf_counter()
+        (state, used), use_pallas = _sweeps_guarded(
+            field_j, markers_j, mask_j, fwd_int, bwd_int, state, taps, radius, n,
+            grace=grace, label_only=label_only, use_pallas=use_pallas,
+            width=w,
+        )
+        used = int(used)
+        if _VERBOSE:
+            print(
+                f"[ws] fine jacobi chunk: {used}/{n} rounds in "
+                f"{_time.perf_counter() - t0:.2f}s (radius={radius}, "
+                f"pallas={use_pallas})",
+                flush=True,
+            )
+        done += used
+        if used < n:  # converged inside the chunk
+            break
+    return state
+
+
+@persistent_jit
+def _ws_chunk_sums_jit(labels):
+    """Cheap per-frame change-detection checksums of a label chunk: the
+    int32 wrap-sums of the labels, their squares, and the foreground count.
+    Used to skip re-downloading an unchanged chunk's labels between passes
+    of the time-chunked flood (collision odds are negligible and a
+    collision costs at most a stale chunk that the boundary-state
+    comparison still catches)."""
+    lab = labels.astype(jnp.int32)
+    s1 = jnp.sum(lab, axis=(1, 2))
+    s2 = jnp.sum(lab * lab, axis=(1, 2))
+    s3 = jnp.sum((lab != 0).astype(jnp.int32), axis=(1, 2))
+    return jnp.stack([s1, s2, s3])
+
+
+def _watershed_time_chunked(
+    forward_flow, backward_flow, field, markers, mask, taps, radius, *,
+    max_iters_cap, chunk_iters, grace, multigrid, temporal_scan, budget,
+    return_device, max_passes=8,
+):
+    """HBM-bounded watershed: block Gauss–Seidel over overlapping time
+    chunks.
+
+    Each chunk floods with the full single-chip machinery
+    (:func:`_flood_state`) plus one FROZEN halo frame per side carrying the
+    neighbouring chunk's converged (claim, claim2, meta) state: halo frames
+    are excluded from the floodable mask (never updated) but their packed
+    state pushes through the temporal scatter exactly like interior
+    sources, so the chunked relaxation optimises the same lexicographic
+    path objective as the whole-volume flood.  Passes alternate direction
+    (forward/backward chunk order) until a full pass changes neither any
+    chunk's labels nor any boundary state — claims relax monotonically, so
+    the fixed point matches the whole-volume flood's up to the shared
+    label-only convergence grace.
+
+    Inputs stay host-resident (numpy); per-chunk uploads are the field
+    (f32), markers (int32), and the HOST-rounded int8 flows; downloads are
+    the decoded labels of changed chunks plus two state frames per chunk
+    boundary.  Reference scale contract: ``dcc_detect_goes.py:42-45,153``
+    (2500x1500 CONUS, 288+ frames) cannot hold state+field+flows in 16 GB
+    of HBM at once."""
+    import time as _time
+
+    field_np = np.asarray(getattr(field, "values", field), np.float32)
+    markers_np = np.asarray(getattr(markers, "values", markers)).astype(
+        np.int32
+    )
+    t, h, w = field_np.shape
+    mask_np = (
+        None
+        if mask is None
+        else np.asarray(getattr(mask, "values", mask)).astype(bool)
+    )
+
+    fwd_i8 = np.clip(
+        np.round(np.asarray(getattr(forward_flow, "values", forward_flow))),
+        -127, 127,
+    ).astype(np.int8)
+    bwd_i8 = np.clip(
+        np.round(np.asarray(getattr(backward_flow, "values", backward_flow))),
+        -127, 127,
+    ).astype(np.int8)
+
+    if radius is None:
+        # host estimate of _ws_prep_jit's 99th-percentile band: strided
+        # sample of the masked rounded displacement magnitudes
+        step = max(1, (t * h * w) // 4_000_000)
+        mags = []
+        for f in (fwd_i8, bwd_i8):
+            m = np.maximum(
+                np.abs(f[..., 0].ravel()[::step]),
+                np.abs(f[..., 1].ravel()[::step]),
+            )
+            if mask_np is not None:
+                m = m[mask_np.ravel()[::step]]
+            mags.append(m)
+        mm = np.concatenate(mags)
+        q = float(np.percentile(mm, 99)) if mm.size else 1.0
+        radius = int(min(int(q) + 2, 21))
+
+    n_chunks = max(1, -(-int(t * h * w * 40) // budget))
+    chunk_t = -(-t // n_chunks)
+    n_chunks = -(-t // chunk_t)
+    use_pallas = h * w >= 256 * 256 and _pallas_spatial_usable(h, w)
+    run_scans = temporal_scan and any(dt != 0 for dt, _, _ in taps)
+
+    labels_out = np.zeros((t, h, w), np.int32)
+    sums_prev: dict = {}
+    bound: dict = {}  # global frame index -> (claim, claim2, meta) np frames
+
+    for pass_i in range(max_passes):
+        order = (
+            range(n_chunks)
+            if pass_i % 2 == 0
+            else range(n_chunks - 1, -1, -1)
+        )
+        changed_any = False
+        for ci in order:
+            s, e = ci * chunk_t, min(t, (ci + 1) * chunk_t)
+            lo = s - 1 if s > 0 else 0
+            hi = e + 1 if e < t else e
+            t0 = _time.perf_counter()
+            fld = jnp.asarray(
+                np.where(
+                    np.isnan(field_np[lo:hi]), np.inf, field_np[lo:hi]
+                )
+            )
+            mrk_np = markers_np[lo:hi]
+            mrk = jnp.asarray(mrk_np)
+            msk_c = (
+                np.ones((hi - lo, h, w), bool)
+                if mask_np is None
+                else mask_np[lo:hi].copy()
+            )
+            if s > 0:
+                msk_c[0] = False  # frozen boundary-condition frame
+            if e < t:
+                msk_c[-1] = False
+            msk = jnp.asarray(msk_c)
+            fwd_c = jnp.asarray(fwd_i8[lo:hi])
+            bwd_c = jnp.asarray(bwd_i8[lo:hi])
+
+            seeded = mrk_np != 0
+            claim0 = np.where(seeded, -np.inf, np.inf).astype(np.float32)
+            claim20 = claim0.copy()
+            meta0 = np.where(
+                seeded, mrk_np + 2, np.iinfo(np.int32).max
+            ).astype(np.int32)
+            if s > 0 and (s - 1) in bound:
+                claim0[0], claim20[0], meta0[0] = bound[s - 1]
+            if e < t and e in bound:
+                claim0[-1], claim20[-1], meta0[-1] = bound[e]
+            state = (
+                jnp.asarray(claim0),
+                jnp.asarray(claim20),
+                jnp.asarray(meta0),
+            )
+            del claim0, claim20, meta0
+
+            state = _flood_state(
+                fld, mrk, msk, fwd_c, bwd_c, state, taps, radius,
+                max_iters=min(
+                    max_iters_cap
+                    if max_iters_cap is not None
+                    else (1 << 30),
+                    int(hi - lo) + int(h) + int(w) + 32,
+                ),
+                chunk_iters=chunk_iters, grace=grace,
+                use_pallas=use_pallas,
+                run_scans=run_scans and (hi - lo) >= 4,
+                multigrid=multigrid,
+            )
+
+            # boundary-condition frames for the neighbours: this chunk's
+            # FIRST/LAST interior frames (= their halo frames)
+            i0 = s - lo
+            i1 = (e - 1) - lo
+            for key, idx, has in (
+                (s, i0, s > 0),
+                (e - 1, i1, e < t),
+            ):
+                if not has:
+                    continue
+                new_b = tuple(np.asarray(a[idx]) for a in state)
+                old_b = bound.get(key)
+                if old_b is None or not all(
+                    np.array_equal(x, y) for x, y in zip(new_b, old_b)
+                ):
+                    changed_any = True
+                bound[key] = new_b
+
+            lab = _ws_decode_jit(state[2], mrk, msk)
+            sums = np.asarray(_ws_chunk_sums_jit(lab[i0 : i1 + 1]))
+            if not np.array_equal(sums, sums_prev.get(ci)):
+                changed_any = True
+                sums_prev[ci] = sums
+                labels_out[s:e] = np.asarray(lab[i0 : i1 + 1])
+            if _VERBOSE:
+                print(
+                    f"[ws] chunk pass {pass_i} [{s}:{e}] radius={radius} "
+                    f"{_time.perf_counter() - t0:.1f}s",
+                    flush=True,
+                )
+            del state, lab, fld, mrk, msk, fwd_c, bwd_c
+        if not changed_any:
+            break
+    if return_device:
+        # at this scale callers stream host chunks; hand back host labels
+        return labels_out
+    return labels_out
+
+
 def watershed(
     forward_flow,
     backward_flow,
@@ -871,6 +1246,31 @@ def watershed(
         O(1) instead of O(T) rounds to traverse the axis; see
         ``_watershed_scan_round``).
     """
+    # HBM-bounded dispatch: the whole-volume flood's working set is ~40
+    # bytes/px (packed state x3, field, markers, int8 flows, plus the banded
+    # scatter's lane temporaries); above the budget (a 16 GB chip cannot
+    # hold a 2500x1500x288 CONUS day) the flood runs in overlapping time
+    # chunks with frozen boundary-condition frames — block Gauss–Seidel over
+    # the time axis, the single-chip analogue of the mesh-sharded
+    # reconciliation (parallel/watershed.py) and of the reference's own
+    # padded file chunking (dcc_detect_goes.py:153).  Checked BEFORE any
+    # device conversion: the whole volume must never be uploaded at once.
+    _shape = np.shape(getattr(field, "values", field))
+    hbm_budget = int(_os.environ.get("TFT_WS_HBM_BUDGET_BYTES", 10 << 30))
+    if (
+        len(_shape) == 3
+        and int(np.prod(_shape)) * 40 > hbm_budget
+        and _shape[0] >= 12
+    ):
+        structure = connectivity_structure(connectivity)
+        return _watershed_time_chunked(
+            forward_flow, backward_flow, field, markers, mask,
+            _structure_taps_3d(structure), radius,
+            max_iters_cap=max_iters, chunk_iters=chunk_iters, grace=grace,
+            multigrid=multigrid, temporal_scan=temporal_scan,
+            budget=hbm_budget, return_device=return_device,
+        )
+
     # keep device arrays on device: all preprocessing is jnp (a host numpy
     # round-trip here costs ~GBs of transfer on GOES-scale windows)
     field_j = jnp.asarray(getattr(field, "values", field), dtype=jnp.float32)
@@ -930,70 +1330,11 @@ def watershed(
         and any(dt != 0 for dt, _, _ in taps)
     )
 
-    def scan_rounds(fld, mrk, msk, fwd, bwd, st, rad, cap):
-        # Gauss–Seidel rounds until labels hold still for one round (the
-        # Jacobi loop that follows re-verifies convergence of the identical
-        # operator, so a single quiet round suffices here)
-        for _ in range(cap):
-            st, changed = _watershed_scan_round(
-                fld, mrk, msk, fwd, bwd, st, taps, rad
-            )
-            if not bool(changed):
-                break
-        return st
-
-    factor = 4
-    if multigrid and h >= 8 * factor and w >= 8 * factor:
-        # V-cycle: flood a max-pooled field first (coarse barriers >= true
-        # barriers, so the upsampled claims are upper bounds and full-res
-        # sweeps relax monotonically to the same fixed point), then refine.
-        cf, cmask, cmark, cfwd_i, cbwd_i, cstate = _ws_coarse_prep_jit(
-            field_j, markers_j, mask_j, fwd_int, bwd_int, factor
-        )
-        cradius = max(radius // factor, 1) if radius is not None else 5
-        if run_scans:
-            cstate = scan_rounds(
-                cf, cmark, cmask, cfwd_i, cbwd_i, cstate, cradius, cap=12
-            )
-        cdone = 0
-        cmax = (max_iters // 2) + 8
-        while cdone < cmax:
-            n = min(chunk_iters, cmax - cdone)
-            (cstate, used), ok = _sweeps_guarded(
-                cf, cmark, cmask, cfwd_i, cbwd_i, cstate, taps, cradius, n,
-                grace=grace,
-                use_pallas=use_pallas and (h // factor) * (w // factor) >= 256 * 256,
-                width=w // factor,
-            )
-            used = int(used)
-            cdone += used
-            if used < n:
-                break
-        state = _ws_adopt_jit(
-            cstate, cmark, field_j, markers_j, mask_j, state, factor
-        )
-        # free the coarse-grid device buffers before the fine dispatches —
-        # at GOES-day scale they are several hundred MB of HBM the flood
-        # needs back
-        del cstate, cf, cmask, cmark, cfwd_i, cbwd_i
-
-    if run_scans:
-        state = scan_rounds(
-            field_j, markers_j, mask_j, fwd_int, bwd_int, state, radius,
-            cap=12,
-        )
-
-    done = 0
-    while done < max_iters:
-        n = min(chunk_iters, max_iters - done)
-        (state, used), use_pallas = _sweeps_guarded(
-            field_j, markers_j, mask_j, fwd_int, bwd_int, state, taps, radius, n,
-            grace=grace, use_pallas=use_pallas, width=w,
-        )
-        used = int(used)
-        done += used
-        if used < n:  # converged inside the chunk
-            break
+    state = _flood_state(
+        field_j, markers_j, mask_j, fwd_int, bwd_int, state, taps, radius,
+        max_iters=max_iters, chunk_iters=chunk_iters, grace=grace,
+        use_pallas=use_pallas, run_scans=run_scans, multigrid=multigrid,
+    )
 
     if _os.environ.get("TFT_WS_DUMP_STATE"):
         np.savez(

@@ -22,7 +22,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from tobac_flow_tpu.models.farneback import FarnebackParams, farneback_pair
 from tobac_flow_tpu.parallel.halo import halo_exchange_t, halo_exchange_x
 
-__all__ = ["sharded_detect_step", "make_sharded_step"]
+__all__ = [
+    "sharded_detect_step",
+    "make_sharded_step",
+    "make_sharded_thin_step",
+    "sharded_detect_all",
+]
 
 
 def _normalise_pair_block(prev, nxt):
@@ -129,7 +134,7 @@ def _detect_step_local(bt, wvd, swd, dt, fwd_in, bwd_in, *, params, hx,
                        ws_sweeps, vr_steps, smoothing_passes, interp_method,
                        use_wvd, wvd_threshold, bt_threshold, thick_upper,
                        thick_lower, erode_distance, warp_radius, w_global,
-                       use_injected_flows, label_rounds):
+                       use_injected_flows, label_rounds, run_thick):
     """shard_map body: local (T_l, H, W_l) tiles + halo exchanges.
 
     Runs the REAL detection science (``parallel/science.py`` — the
@@ -205,16 +210,25 @@ def _detect_step_local(bt, wvd, swd, dt, fwd_in, bwd_in, *, params, hx,
         field_thick, marker_ids, fwd, bwd, thick_lower, thick_upper,
         erode_distance, hx, warp_radius=warp_radius,
     )
-    thick_labels = sharded_watershed_local(
-        edges,
-        eroded,
-        jnp.round(fwd).astype(jnp.int32),
-        jnp.round(bwd).astype(jnp.int32),
-        radius=warp_radius,
-        max_rounds=ws_sweeps,
-    )
+    if run_thick:
+        # pure-SPMD demonstration flood (pixel-id seeds); the parity chain
+        # (sharded_detect_all) skips this and floods from the host-linked
+        # marker LABELS instead — the single-chip seeding
+        thick_labels = sharded_watershed_local(
+            edges,
+            eroded,
+            jnp.round(fwd).astype(jnp.int32),
+            jnp.round(bwd).astype(jnp.int32),
+            radius=warp_radius,
+            max_rounds=ws_sweeps,
+        )
+        from tobac_flow_tpu.parallel.science import sharded_anvil_post
 
-    return fwd, bwd, core_markers, core_labels, edges, thick_labels
+        thick_labels = sharded_anvil_post(thick_labels, marker_ids)
+    else:
+        thick_labels = jnp.zeros_like(eroded)
+
+    return fwd, bwd, core_markers, core_labels, edges, thick_labels, anvil_mask
 
 
 def make_sharded_step(
@@ -236,6 +250,7 @@ def make_sharded_step(
     warp_radius: int = 21,
     inject_flows: bool = False,
     label_rounds: int = 256,
+    run_thick: bool = True,
 ):
     """Build the jitted SPMD detection step for a given mesh.
 
@@ -271,12 +286,13 @@ def make_sharded_step(
         w_global=w_global,
         use_injected_flows=inject_flows,
         label_rounds=label_rounds,
+        run_thick=run_thick,
     )
     mapped = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec_t, flow_spec, flow_spec),
-        out_specs=(flow_spec, flow_spec, spec, spec, spec, spec),
+        out_specs=(flow_spec, flow_spec, spec, spec, spec, spec, spec),
     )
     jitted = jax.jit(mapped)
 
@@ -315,3 +331,203 @@ def sharded_detect_step(mesh, bt, wvd, swd, flows=None, **kwargs):
             for f in flows
         ]
     return step(*args)
+
+
+def _anvil_step_local(field, markers, fwd, bwd, *, hx, warp_radius,
+                      upper, lower, erode_distance, ws_sweeps):
+    """shard_map body for one seeded anvil-watershed phase: prep (linearise,
+    erode markers, uphill-Sobel edges), flood, post (clamp/opening/marker
+    restore).  Serves the thick chain (upper -5, lower -12.5, markers = the
+    flow-linked anvil marker labels) and the thin chain (upper 0, lower
+    -7.5, markers = the relabeled thick labels) — reference
+    ``scripts/dcc_detect_goes.py:217-309``."""
+    from tobac_flow_tpu.parallel.science import (
+        sharded_anvil_post,
+        sharded_anvil_prep,
+    )
+    from tobac_flow_tpu.parallel.watershed import sharded_watershed_local
+
+    edges, eroded = sharded_anvil_prep(
+        field, markers, fwd, bwd, lower, upper, erode_distance,
+        hx, warp_radius=warp_radius,
+    )
+    labels = sharded_watershed_local(
+        edges,
+        eroded,
+        jnp.round(fwd).astype(jnp.int32),
+        jnp.round(bwd).astype(jnp.int32),
+        radius=warp_radius,
+        max_rounds=ws_sweeps,
+    )
+    return sharded_anvil_post(labels, markers)
+
+
+def make_sharded_anvil_step(
+    mesh,
+    hx: int = 24,
+    ws_sweeps: int = 8,
+    upper: float = -5.0,
+    lower: float = -12.5,
+    erode_distance: int = 2,
+    warp_radius: int = 21,
+):
+    """Build a jitted SPMD seeded anvil-watershed phase: (field, markers,
+    fwd, bwd) -> anvil labels, all sharded P('t', None, 'x')."""
+    spec = P("t", None, "x")
+    flow_spec = P("t", None, "x", None)
+    body = functools.partial(
+        _anvil_step_local,
+        hx=hx,
+        warp_radius=warp_radius,
+        upper=upper,
+        lower=lower,
+        erode_distance=erode_distance,
+        ws_sweeps=ws_sweeps,
+    )
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, spec, flow_spec, flow_spec),
+        out_specs=spec,
+    )
+    return jax.jit(mapped)
+
+
+# backwards-compatible alias (the thin phase is the same program with the
+# thin thresholds)
+def make_sharded_thin_step(mesh, thin_upper=0.0, thin_lower=-7.5, **kw):
+    return make_sharded_anvil_step(
+        mesh, upper=thin_upper, lower=thin_lower, **kw
+    )
+
+
+def sharded_detect_all(
+    mesh,
+    bt,
+    wvd,
+    swd,
+    flows=None,
+    overlap: float = 0.5,
+    absolute_overlap: int = 4,
+    min_length: int = 3,
+    relabel: bool = True,
+    thick_upper: float = -5.0,
+    thick_lower: float = -12.5,
+    thin_upper: float = 0.0,
+    thin_lower: float = -7.5,
+    erode_distance: int = 2,
+    **kwargs,
+):
+    """Full sharded detection chain: flow -> cores -> anvil markers -> thick
+    anvils -> relabel -> thin anvils (the complete dense pipeline of
+    ``cli/common.run_detection``, reference ``dcc_detect_goes.py:134-309``).
+
+    The dense phases are jitted SPMD programs over the mesh (flow/core
+    science in ``sharded_detect_step``; each seeded anvil watershed in
+    ``make_sharded_anvil_step``); the data-dependent label bookkeeping
+    between them — the flow-linked anvil-marker labels, length/marker
+    filters, and the overlap-threshold relabel (``detection.py:500-520,
+    660-687``) — runs on host through the exact single-chip functions after
+    a gather, this package's documented split (see ``parallel/label.py``:
+    "the data-dependent label bookkeeping stays on host").  Returns a dict
+    with core/marker/thick/thin labels (host arrays, contiguous ids) and the
+    sharded flow fields.
+    """
+    from tobac_flow_tpu.core.flow import Flow
+    from tobac_flow_tpu.detect.analysis import find_object_lengths, mask_labels
+    from tobac_flow_tpu.detect.detection import get_anvil_markers, relabel_anvils
+    from tobac_flow_tpu.utils.labels import remap_labels
+
+    kwargs.setdefault("thick_upper", thick_upper)
+    kwargs.setdefault("thick_lower", thick_lower)
+    kwargs.setdefault("erode_distance", erode_distance)
+    kwargs.setdefault("run_thick", False)  # the parity flood runs in phase B
+    out = sharded_detect_step(mesh, bt, wvd, swd, flows=flows, **kwargs)
+    fwd, bwd, core_markers, core_labels, _edges, _thick_raw, anvil_mask = out
+
+    fwd_np = np.asarray(fwd)
+    bwd_np = np.asarray(bwd)
+    host_flow = Flow(fwd_np, bwd_np)
+    field_thick_np = np.asarray(wvd) - np.asarray(swd)
+
+    # anvil marker labels: the exact single-chip path (threshold mask ->
+    # flow.label with the overlap thresholds -> length filter), reference
+    # detection.py:500-520
+    marker_labels = np.asarray(
+        get_anvil_markers(
+            host_flow,
+            field_thick_np,
+            threshold=thick_upper,
+            overlap=overlap,
+            absolute_overlap=absolute_overlap,
+            min_length=min_length,
+        )
+    )
+
+    spec = P("t", None, "x")
+    sharding = NamedSharding(mesh, spec)
+
+    def put(a, dtype):
+        return jax.device_put(jnp.asarray(np.asarray(a), dtype), sharding)
+
+    anvil_kw = dict(
+        hx=kwargs.get("hx", 24),
+        ws_sweeps=kwargs.get("ws_sweeps", 8),
+        erode_distance=erode_distance,
+        warp_radius=kwargs.get("warp_radius", 21),
+    )
+    thick_step = make_sharded_anvil_step(
+        mesh, upper=thick_upper, lower=thick_lower, **anvil_kw
+    )
+    thick_raw = thick_step(
+        put(field_thick_np, jnp.float32),
+        put(marker_labels, jnp.int32),
+        fwd,
+        bwd,
+    )
+
+    # host tail of detect_anvils (detection.py:575-587)
+    thick_np = np.asarray(thick_raw)
+    lengths = find_object_lengths(thick_np)
+    marker_overlap = mask_labels(thick_np, marker_labels != 0)
+    thick_np = remap_labels(
+        thick_np, np.logical_and(lengths > min_length, marker_overlap)
+    )
+    if relabel:
+        thick_np = np.asarray(
+            relabel_anvils(
+                host_flow,
+                thick_np,
+                markers=marker_labels,
+                overlap=overlap,
+                absolute_overlap=absolute_overlap,
+                min_length=min_length,
+            )
+        )
+
+    # thin-anvil watershed seeded by the relabeled thick labels
+    thin_step = make_sharded_anvil_step(
+        mesh, upper=thin_upper, lower=thin_lower, **anvil_kw
+    )
+    field_thin_np = np.asarray(wvd) + np.asarray(swd)
+    thin_raw = thin_step(
+        put(field_thin_np, jnp.float32), put(thick_np, jnp.int32), fwd, bwd
+    )
+
+    thin_np = np.asarray(thin_raw)
+    lengths = find_object_lengths(thin_np)
+    marker_overlap = mask_labels(thin_np, thick_np != 0)
+    thin_np = remap_labels(
+        thin_np, np.logical_and(lengths > min_length, marker_overlap)
+    )
+
+    return {
+        "forward_flow": fwd,
+        "backward_flow": bwd,
+        "core_markers": np.asarray(core_markers),
+        "core_labels": np.asarray(core_labels),
+        "anvil_marker_mask": np.asarray(anvil_mask),
+        "anvil_marker_labels": marker_labels,
+        "thick_anvil_labels": thick_np,
+        "thin_anvil_labels": thin_np,
+    }

@@ -47,6 +47,7 @@ __all__ = [
     "sharded_core_markers",
     "sharded_anvil_marker_mask",
     "sharded_anvil_prep",
+    "sharded_anvil_post",
     "sharded_fill_holes",
 ]
 
@@ -369,3 +370,13 @@ def sharded_anvil_prep(
     edges = edges - f
     edges = jnp.where(wh_nan, jnp.inf, edges)
     return edges, eroded
+
+
+def sharded_anvil_post(labels, markers, x_axis="x"):
+    """detect_anvils' post-watershed pass on tiles (fused ``_anvil_post_jit``,
+    reference ``detection.py:553-562``): clamp the -1 barrier to background,
+    zero pixels the in-plane opening removes, and restore marker identity."""
+    labels = jnp.maximum(labels, 0)
+    keep = _opening_sharded(labels != 0, x_axis)
+    labels = labels * keep.astype(labels.dtype)
+    return jnp.where(markers > 0, markers, labels)

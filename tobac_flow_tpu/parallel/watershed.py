@@ -3,12 +3,20 @@
 The single-chip kernel (``ops/watershed.py``) solves the minimax-path
 formulation of the reference's priority-flood watershed
 (``tobac_flow/watershed.py`` + ``_watershed.pyx:308-313``) with data-parallel
-Jacobi sweeps.  This module runs those sweeps SPMD over a mesh:
+Jacobi sweeps.  This module runs those sweeps SPMD over a mesh with the
+SAME heap-faithful tie semantics as the single-chip kernel — the packed
+(claim, claim2/gate, hops<<23|label) state, plateau-relative hop clocks and
+the barrier-last label order of ``ops/watershed._lex_better`` — so a mesh
+flood and the single-chip flood agree on ties, not just on clear minimax
+winners:
 
- * state (claim, hops, label) lives on the interior tile of every shard;
+ * state (claim, claim2, meta) lives on the interior tile of every shard;
  * every round exchanges x halos of the state over ICI (width = the banded
    flow radius, so both the in-plane and the flow-displaced temporal taps can
    reach across tile boundaries) and ±1-frame t halos for the temporal taps;
+ * temporal adjacency is the reference's SOURCE-side scatter
+   (``ops/watershed._banded_scatter_min``): frame t-1 pushes along its own
+   forward flow, t+1 along its backward flow (``_watershed.pyx:308-313``);
  * in-plane taps are inf-padded static shifts — the global domain edge is a
    barrier exactly like the single-chip kernel's +inf padding
    (``ops/watershed.py:112-125``), never a wraparound;
@@ -16,10 +24,12 @@ Jacobi sweeps.  This module runs those sweeps SPMD over a mesh:
    relaxing long after the assignment settles) reduced over the whole mesh
    with ``psum``, inside one ``lax.while_loop``.
 
-Claims relax monotonically downward, so stale halo data between the
-once-per-round refreshes only delays propagation — it can never adopt an
-invalid label — and a fixed point that survives two freshly-exchanged rounds
-is the global fixed point.
+Labels must lie in [-1, 2^23 - 3] (the packed-meta contract shared with the
+single-chip kernel); the production chain (``parallel/pipeline.py``) seeds
+with small contiguous label ids.  Claims relax monotonically downward, so
+stale halo data between the once-per-round refreshes only delays
+propagation — it can never adopt an invalid label — and a fixed point that
+survives two freshly-exchanged rounds is the global fixed point.
 """
 
 from __future__ import annotations
@@ -31,13 +41,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from tobac_flow_tpu.ops.banded import banded_gather_axis
+from tobac_flow_tpu.ops.watershed import _banded_scatter_min, _lex_better
 from tobac_flow_tpu.parallel.halo import halo_exchange_t, halo_exchange_x
 
 __all__ = ["sharded_watershed", "sharded_watershed_local"]
 
 _INF = np.float32(np.inf)
-_HOPS_MAX = np.int32(1 << 30)
+_META_MAX = np.int32(np.iinfo(np.int32).max)
+_LABEL_MASK = np.int32((1 << 23) - 1)
+_HOPS_STEP = np.int32(1 << 23)
+_HOPS_CAP = np.int32(255 << 23)
 
 
 def _pad_shift_yx(arrs, dy, dx, fills):
@@ -89,9 +102,15 @@ def sharded_watershed_local(
     floodable = mask & ~seeded
     field = jnp.where(jnp.isnan(field), _INF, field)
 
+    # packed state, identical to the single-chip kernel's
+    # (ops/watershed._watershed_sweeps): claim = minimax path cost, claim2 =
+    # the frozen gate (approach bottleneck at the path's last strict max
+    # rise), meta = min(hops, 255) << 23 | (label + 2)
     claim = jnp.where(seeded, -_INF, _INF).astype(jnp.float32)
-    hops = jnp.where(seeded, 0, _HOPS_MAX).astype(jnp.int32)
-    label = jnp.where(seeded, markers, 0).astype(jnp.int32)
+    claim2 = claim
+    meta = jnp.where(
+        seeded, markers.astype(jnp.int32) + 2, _META_MAX
+    ).astype(jnp.int32)
 
     tl = field.shape[0]
     hw = int(radius)  # x-halo width: covers in-plane and banded temporal taps
@@ -101,52 +120,59 @@ def sharded_watershed_local(
     flood_x = halo_exchange_x(floodable, x_axis, hw, False)
     fwd_x = halo_exchange_x(fwd_int, x_axis, hw, 0, axis=-2)
     bwd_x = halo_exchange_x(bwd_int, x_axis, hw, 0, axis=-2)
+    ninf = jnp.float32(-jnp.inf)
 
-    def consider(best, cq, hq, lq):
-        bc, bh, bl = best
-        cand_h = jnp.minimum(hq + 1, _HOPS_MAX - 1)
-        valid = lq != 0
-        better = ((cq < bc) | ((cq == bc) & (cand_h < bh))) & valid
+    def consider(best, cq, c2q, mq):
+        # hop clock ticks only while the wave stays ON its level plateau —
+        # bit-equal to ops/watershed._watershed_sweeps.consider
+        bc, bc2, bm = best
+        on_level = field_x == cq
+        cand_m = mq + jnp.where((mq < _HOPS_CAP) & on_level, _HOPS_STEP, 0)
+        valid = mq != _META_MAX
+        better = _lex_better(cq, c2q, cand_m, bc, bc2, bm) & valid
         return (
             jnp.where(better, cq, bc),
-            jnp.where(better, cand_h, bh),
-            jnp.where(better, lq, bl),
+            jnp.where(better, c2q, bc2),
+            jnp.where(better, cand_m, bm),
         )
 
     def sweep(state, include_temporal):
         """One Jacobi sweep on x-halo-extended state."""
-        claim, hops, label = state
+        claim, claim2, meta = state
         cost = jnp.where(seeded_x, field_x, jnp.maximum(field_x, claim))
-        best = (claim, hops, label)
+        cost2 = jnp.where(
+            seeded_x, ninf, jnp.where(field_x > claim, claim, claim2)
+        )
+        meta_p = jnp.where(
+            ~seeded_x & (field_x > claim), meta & _LABEL_MASK, meta
+        )
+        best = (claim, claim2, meta)
         for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            cq, hq, lq = _pad_shift_yx(
-                (cost, hops, label), dy, dx, (_INF, 0, 0)
+            cq, c2q, mq = _pad_shift_yx(
+                (cost, cost2, meta_p), dy, dx, (_INF, _INF, _META_MAX)
             )
-            best = consider(best, cq, hq, lq)
+            best = consider(best, cq, c2q, mq)
         if include_temporal:
             cost_t = halo_exchange_t(cost, t_axis, 1, _INF)
-            hops_t = halo_exchange_t(hops, t_axis, 1, 0)
-            label_t = halo_exchange_t(label, t_axis, 1, 0)
-            for dt, flow in ((-1, bwd_x), (1, fwd_x)):
-                cs = jax.lax.dynamic_slice_in_dim(cost_t, dt + 1, tl, axis=0)
-                hs = jax.lax.dynamic_slice_in_dim(hops_t, dt + 1, tl, axis=0)
-                ls = jax.lax.dynamic_slice_in_dim(label_t, dt + 1, tl, axis=0)
-                dy = flow[..., 1]
-                dx = flow[..., 0]
-                cq = banded_gather_axis(
-                    banded_gather_axis(cs, dy, -2, radius, _INF), dx, -1, radius, _INF
+            cost2_t = halo_exchange_t(cost2, t_axis, 1, _INF)
+            meta_t = halo_exchange_t(meta_p, t_axis, 1, _META_MAX)
+            fwd_t = halo_exchange_t(fwd_x, t_axis, 1, 0)
+            bwd_t = halo_exchange_t(bwd_x, t_axis, 1, 0)
+            # source-side scatter (the reference heap's adjacency,
+            # _watershed.pyx:308-313): frame t-dt pushes along ITS OWN flow
+            for dt, flow_t in ((1, fwd_t), (-1, bwd_t)):
+                cs = jax.lax.dynamic_slice_in_dim(cost_t, 1 - dt, tl, axis=0)
+                c2s = jax.lax.dynamic_slice_in_dim(cost2_t, 1 - dt, tl, axis=0)
+                ms = jax.lax.dynamic_slice_in_dim(meta_t, 1 - dt, tl, axis=0)
+                fs = jax.lax.dynamic_slice_in_dim(flow_t, 1 - dt, tl, axis=0)
+                cq, c2q, mq = _banded_scatter_min(
+                    cs, c2s, ms, fs[..., 1], fs[..., 0], radius, _META_MAX
                 )
-                hq = banded_gather_axis(
-                    banded_gather_axis(hs, dy, -2, radius, 0), dx, -1, radius, 0
-                )
-                lq = banded_gather_axis(
-                    banded_gather_axis(ls, dy, -2, radius, 0), dx, -1, radius, 0
-                )
-                best = consider(best, cq, hq, lq)
+                best = consider(best, cq, c2q, mq)
         return (
             jnp.where(flood_x, best[0], claim),
-            jnp.where(flood_x, best[1], hops),
-            jnp.where(flood_x, best[2], label),
+            jnp.where(flood_x, best[1], claim2),
+            jnp.where(flood_x, best[2], meta),
         )
 
     def crop(a):
@@ -157,25 +183,28 @@ def sharded_watershed_local(
         return jnp.logical_and(quiet < 2, it < max_rounds)
 
     def body(carry):
-        (claim, hops, label), quiet, it = carry
+        (claim, claim2, meta), quiet, it = carry
         # refresh the x halos from the neighbours' interiors
         st = (
             halo_exchange_x(claim, x_axis, hw, _INF),
-            halo_exchange_x(hops, x_axis, hw, 0),
-            halo_exchange_x(label, x_axis, hw, 0),
+            halo_exchange_x(claim2, x_axis, hw, _INF),
+            halo_exchange_x(meta, x_axis, hw, _META_MAX),
         )
         st = sweep(st, True)
         for _ in range(spatial_per_temporal):
             st = sweep(st, False)
         new = tuple(crop(a) for a in st)
-        changed_local = jnp.any(new[2] != label).astype(jnp.float32)
+        changed_local = jnp.any(
+            (new[2] & _LABEL_MASK) != (meta & _LABEL_MASK)
+        ).astype(jnp.float32)
         changed = jax.lax.psum(changed_local, (t_axis, x_axis))
         quiet = jnp.where(changed > 0, 0, quiet + 1)
         return new, quiet, it + 1
 
-    (claim, hops, label), _, _ = jax.lax.while_loop(
-        cond, body, ((claim, hops, label), jnp.int32(0), jnp.int32(0))
+    (claim, claim2, meta), _, _ = jax.lax.while_loop(
+        cond, body, ((claim, claim2, meta), jnp.int32(0), jnp.int32(0))
     )
+    label = jnp.where(meta == _META_MAX, 0, (meta & _LABEL_MASK) - 2)
     return jnp.where(seeded, markers, label)
 
 

@@ -44,8 +44,12 @@ __all__ = ["flow_label", "flow_link_overlap", "link_labels_by_overlap"]
 # on-device sort (inside jnp.unique) well under the ~30 s XLA program
 # watchdog and the chunk working set in HBM
 _PAIR_CHUNK_PX = 16_000_000
-# unique-pair capacity per program; doubled-by-4 on saturation (recompile)
-_PAIR_CAP = 4096
+# unique-pair capacity per program.  Starts big: the capacity only sizes the
+# (tiny) readback arrays while the unique's internal sort cost is set by the
+# chunk size, and every quadruple-on-saturation retry used to recompile the
+# program and rerun every chunk (measured as the superlinear blowup of the
+# anvil-marker stage at day scale: 39 s at 96 frames -> 386 s at 288).
+_PAIR_CAP = 1 << 16
 _PAIR_CAP_MAX = 1 << 20
 
 
@@ -79,6 +83,10 @@ def _pair_hist_jit(labels, fwd, bwd, nplus1, taps, n_cap, lo, hi, mode):
     foreground pair keys and their pixel counts do (the full histogram the
     overlap thresholds of reference ``label_utils.py:352-376`` consume)."""
     del mode  # jit cache key only: the warp kernel reads convolve globals
+    # int8 chunks (host-resident flows ship rounded) widen to the f32 the
+    # warp kernels expect; f32 inputs pass through unchanged
+    fwd = fwd.astype(jnp.float32)
+    bwd = bwd.astype(jnp.float32)
     warped = _convolve_impl(labels, fwd, bwd, taps, "nearest", 0, None, 0)
     a = labels[lo:hi].astype(jnp.int32)
     outs = []
@@ -106,30 +114,60 @@ def _overlap_pair_hists_device(flow, flat_labels, structure, nplus1):
         return None  # pair keys would wrap int32 (x64 is disabled under jit)
     taps = structure_taps(_label_struct_taps(structure))
     t, h, w = flat_labels.shape
-    chunk_t = max(4, _PAIR_CHUNK_PX // max(h * w, 1))
+    chunk_t = min(max(4, _PAIR_CHUNK_PX // max(h * w, 1)), t)
+    n_chunks = -(-t // chunk_t)
+    # uniform chunk geometry: every dispatch sees a (chunk_t + 2, h, w)
+    # window whose interior is frames [1, 1 + chunk_t) — zero-padded label
+    # frames at the sequence ends and past-the-end tail reproduce the
+    # fill_value=0 boundary semantics while keeping ONE compiled program
+    # (ragged first/last chunk shapes each paid a 20-70 s remote compile)
+    padded_t = n_chunks * chunk_t + 2
+    lab_dtype = (
+        np.int16 if nplus1 - 1 < np.iinfo(np.int16).max else np.int32
+    )
+    lab_all = np.zeros((padded_t, h, w), lab_dtype)
+    lab_all[1 : 1 + t] = flat_labels
     fwd_all = flow.forward_flow
     bwd_all = flow.backward_flow
+    if isinstance(fwd_all, np.ndarray):
+        # host-resident flows (above the residency budget, e.g. CONUS day):
+        # the nearest-neighbour label warp only ever sees round(flow), so
+        # ship the chunks as rounded int8 — a quarter of the f32 upload —
+        # and widen on device (np.round and jnp.round are both half-to-even,
+        # so the warp result is bit-identical)
+        def flow_chunk(arr, s0):
+            buf = np.zeros((chunk_t + 2, h, w, 2), np.int8)
+            lo = max(0, s0 - 1)  # unpadded frame range covered by this window
+            hi = min(t, s0 + chunk_t + 1)
+            buf[(lo + 1 - s0) : (lo + 1 - s0) + (hi - lo)] = np.round(
+                arr[lo:hi]
+            ).astype(np.int8)
+            return jnp.asarray(buf)
+    else:
+        fwd_pad = jnp.pad(
+            jnp.asarray(fwd_all), ((1, padded_t - t - 1), (0, 0), (0, 0), (0, 0))
+        )
+        bwd_pad = jnp.pad(
+            jnp.asarray(bwd_all), ((1, padded_t - t - 1), (0, 0), (0, 0), (0, 0))
+        )
+
+        def flow_chunk(arr, s0):
+            src = fwd_pad if arr is fwd_all else bwd_pad
+            return jax.lax.dynamic_slice_in_dim(src, s0, chunk_t + 2, axis=0)
+
     mode = _warp_mode_key()
     hists = [{}, {}]
     n_cap = _PAIR_CAP
-    for s in range(0, t, chunk_t):
-        e = min(t, s + chunk_t)
-        s0, e0 = max(0, s - 1), min(t, e + 1)
-        # upload label chunks at the narrowest width that holds n: the ids
-        # are dense 1..n (hundreds), so int16 halves the dominant upload of
-        # every label call over the slow host↔device link
-        lab_host = flat_labels[s0:e0]
-        if nplus1 - 1 < np.iinfo(np.int16).max:
-            lab = jnp.asarray(lab_host.astype(np.int16)).astype(jnp.int32)
-        else:
-            lab = jnp.asarray(lab_host)
-        fw = jnp.asarray(fwd_all[s0:e0])
-        bw = jnp.asarray(bwd_all[s0:e0])
-        chunk_px = (e - s) * h * w
+    chunk_px = chunk_t * h * w
+    for ci in range(n_chunks):
+        s0 = ci * chunk_t  # padded coordinates; interior = [1, 1 + chunk_t)
+        lab = jnp.asarray(lab_all[s0 : s0 + chunk_t + 2]).astype(jnp.int32)
+        fw = flow_chunk(fwd_all, s0)
+        bw = flow_chunk(bwd_all, s0)
         while True:
             res = jax.device_get(
                 _pair_hist_jit(
-                    lab, fw, bw, nplus1, taps, n_cap, s - s0, e - s0, mode
+                    lab, fw, bw, nplus1, taps, n_cap, 1, 1 + chunk_t, mode
                 )
             )
             # complete iff every pixel's key was counted: unique() silently
