@@ -39,6 +39,11 @@ _CLIENT = None
 
 
 def _client():
+    if os.environ.get("TFT_OFFLINE"):
+        # skip cloud discovery entirely (local archives only) — without this
+        # an airgapped host pays a full DNS/connect timeout per listing
+        # before find_abi_files falls back to the local glob
+        raise RuntimeError("TFT_OFFLINE set: cloud discovery disabled")
     global _CLIENT
     if _CLIENT is None:
         from google.cloud import storage
@@ -231,8 +236,9 @@ def find_abi_files(
         # fully offline: glob the local archive
         if end_date is None:
             end_date = start_date + timedelta(hours=1)
-        pattern = f"OR_ABI-L2-{product}{view}-M*"
-        for p in sorted(save_dir.rglob(pattern + "*.nc")):
+        # single trailing * — "M*" + "*.nc" would form "**", which pathlib
+        # rejects unless it is an entire path component
+        for p in sorted(save_dir.rglob(f"OR_ABI-L2-{product}{view}-M*.nc")):
             t = _blob_start_time(p.name)
             if t is not None and start_date <= t < end_date:
                 files.append(p)

@@ -60,16 +60,32 @@ def program_cache_dir() -> Path:
     )
 
 
+# Host-orchestration layers that can never be inlined into a traced program:
+# editing these must NOT invalidate compiled executables (a full repo digest
+# made every IO/CLI/schema edit re-pay 10-25 remote compiles, 20-400 s each —
+# the round-3 "six stages slower than CPU" artefact was largely that bill).
+# Compute-layer files (ops/, models/, parallel/, detect/, segment/, core/,
+# utils/, pipeline.py, ...) stay in the digest because traced functions
+# freely inline helpers across those modules.
+_DIGEST_EXCLUDE = ("cli/", "data/", "schema/", "track/", "validate/",
+                   "plotting.py", "decorators.py")
+
+
 def package_source_digest() -> str:
-    """Digest over every .py file in the package: ANY source edit
-    invalidates all cached programs (programs freely inline helpers from
-    other modules, so per-file hashing would under-invalidate)."""
+    """Digest over the package's compute-layer .py files: any edit that
+    could change a traced program invalidates all cached executables
+    (per-file hashing would under-invalidate since programs inline helpers
+    from other modules); host-only layers are excluded (see
+    ``_DIGEST_EXCLUDE``)."""
     global _SOURCE_DIGEST
     with _LOCK:
         if _SOURCE_DIGEST is None:
             root = Path(__file__).parent.parent
             h = hashlib.sha256()
             for p in sorted(root.rglob("*.py")):
+                rel = p.relative_to(root).as_posix()
+                if rel.startswith(_DIGEST_EXCLUDE):
+                    continue
                 h.update(p.name.encode())
                 h.update(p.read_bytes())
             _SOURCE_DIGEST = h.hexdigest()[:16]
