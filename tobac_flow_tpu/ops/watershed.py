@@ -1098,7 +1098,10 @@ def _watershed_time_chunked(
         q = float(np.percentile(mm, 99)) if mm.size else 1.0
         radius = int(min(int(q) + 2, 21))
 
-    n_chunks = max(1, -(-int(t * h * w * 40) // budget))
+    # same mixed-marker working-set estimate as the whole-volume gate: each
+    # chunk's flood runs barrier-first too
+    mixed = bool((markers_np < 0).any()) and bool((markers_np > 0).any())
+    n_chunks = max(1, -(-int(t * h * w * (96 if mixed else 40)) // budget))
     chunk_t = -(-t // n_chunks)
     n_chunks = -(-t // chunk_t)
     use_pallas = h * w >= 256 * 256 and _pallas_spatial_usable(h, w)
@@ -1257,9 +1260,20 @@ def watershed(
     # device conversion: the whole volume must never be uploaded at once.
     _shape = np.shape(getattr(field, "values", field))
     hbm_budget = int(_os.environ.get("TFT_WS_HBM_BUDGET_BYTES", 10 << 30))
+    _mk = getattr(markers, "values", markers)
+    if isinstance(_mk, np.ndarray):
+        _mixed = bool((_mk < 0).any()) and bool((_mk > 0).any())
+    else:  # device-resident markers (fused path): two scalar readbacks
+        _mixed = bool(jnp.any(_mk < 0)) and bool(jnp.any(_mk > 0))
+    # mixed -1/positive markers take the barrier-first schedule, which runs a
+    # SECOND full flood with its own packed state while the outer state and
+    # merge buffers stay live — near double the working set (the 288x512x768
+    # thin-anvil flood OOMs a 16 GB chip whole-volume despite a nominal
+    # 4.5 GB estimate)
+    _bytes_px = 96 if _mixed else 40
     if (
         len(_shape) == 3
-        and int(np.prod(_shape)) * 40 > hbm_budget
+        and int(np.prod(_shape)) * _bytes_px > hbm_budget
         and _shape[0] >= 12
     ):
         structure = connectivity_structure(connectivity)
