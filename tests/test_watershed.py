@@ -312,3 +312,47 @@ def test_time_chunked_matches_whole_volume(monkeypatch):
     assert (whole != 0).all()
     agree = (chunked == whole).mean()
     assert agree > 0.995, f"chunked flood agreement {agree:.4%}"
+
+
+def test_band_radius_full_coverage_from_stats():
+    from tobac_flow_tpu.ops.watershed import _band_radius_from_stats
+
+    exceed = np.zeros(21, np.int64)
+    exceed[:4] = [1000, 8, 3, 1]  # outliers up to |disp| = 4
+    total = np.full(21, 100_000, np.int64)
+    stats = np.stack([exceed, total])
+    # default: full coverage — first radius with zero exceedance
+    assert _band_radius_from_stats(stats) == 4
+    # lossy mode: 99% coverage tolerates the 8-pixel tail at k=1
+    import os
+
+    os.environ["TFT_WS_BAND_COVERAGE"] = "0.99"
+    try:
+        assert _band_radius_from_stats(stats) == 3  # q(1) + 2
+    finally:
+        del os.environ["TFT_WS_BAND_COVERAGE"]
+
+
+def test_band_radius_covers_displacement_outliers(monkeypatch):
+    # a fast-moving basin column (0.5% of the in-mask pixels) whose ONLY
+    # temporal connection is a 6 px flow jump: a 99th-percentile band drops
+    # those pushes (radius 2 < 6) and the labels never leave frame 0 — the
+    # exact failure measured as the thin-anvil flood ceding 2731 px of
+    # exact-tie fringe territory to the -1 barrier (THIN_GAP_PROBE.json).
+    # The default full-coverage band must carry them.
+    t, h, w = 3, 8, 200
+    field = np.ones((t, h, w), np.float32)
+    structure = np.zeros((3, 3, 3), bool)
+    structure[:, 1, 1] = True  # temporal connectivity only
+    markers = np.zeros((t, h, w), np.int32)
+    markers[0, :, 2] = 7
+    fwd = zflow(field.shape)
+    for i in range(t):
+        fwd[i, :, 2 + 6 * i, 0] = 6.0
+    bwd = zflow(field.shape)
+    out = watershed(fwd, bwd, field, markers, connectivity=structure)
+    for i in range(t):
+        assert np.all(out[i, :, 2 + 6 * i] == 7), f"frame {i} not flooded"
+    monkeypatch.setenv("TFT_WS_BAND_COVERAGE", "0.99")
+    lossy = watershed(fwd, bwd, field, markers, connectivity=structure)
+    assert np.all(lossy[1:] == 0)  # documents the lossy band's edge drops

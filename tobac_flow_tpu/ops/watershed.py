@@ -755,13 +755,16 @@ def _ws_prep_jit(field_j, markers_j, mask_j, fwd_f, bwd_f):
     mag = jnp.maximum(jnp.abs(fwd_int), jnp.abs(bwd_int))
     mag = jnp.where(mask_j[..., None], mag, 0)
     total = jnp.maximum(mask_j.sum() * 2, 1)
+    # band-radius exceedance curve: exceed[k] = in-mask displacement
+    # components with |disp| > k.  The host picks the band radius from this
+    # (full coverage by default; see the radius selection in ``watershed``).
     exceed = jnp.stack([(mag > k).sum() for k in range(21)])
-    small_enough = exceed <= jnp.maximum(total // 100, 1)  # ≥99% in band
+    band_stats = jnp.stack([exceed, jnp.broadcast_to(total, (21,))])
     seeded = markers_j != 0
     # packed meta = hops << 23 | (label + 2); unlabeled = INT32_MAX sentinel
     meta0 = jnp.where(seeded, markers_j + 2, _META_MAX).astype(jnp.int32)
     claim0 = jnp.where(seeded, -jnp.inf, jnp.inf).astype(jnp.float32)
-    return field_j, fwd_int, bwd_int, (claim0, claim0, meta0), small_enough
+    return field_j, fwd_int, bwd_int, (claim0, claim0, meta0), band_stats
 
 
 @persistent_jit(static_argnames=("factor",))
@@ -859,6 +862,26 @@ def _ws_decode_jit(meta, markers_j, mask_j):
     label = jnp.where(meta == _META_MAX, 0, (meta & ((1 << 23) - 1)) - 2)
     label = jnp.where(markers_j != 0, markers_j, label)
     return jnp.where((markers_j != 0) | (mask_j & (label != 0)), label, 0)
+
+
+def _band_radius_from_stats(stats):
+    """Temporal band radius from ``_ws_prep_jit``'s (exceed, total) curve.
+
+    Full coverage by default: the banded scatter DROPS out-of-band pushes,
+    so any displacement outside the band is a temporal edge the reference
+    heap has and we don't (measured: 2731 px of thin-anvil territory ceded
+    to the barrier at a 99% band, 125 at full — THIN_GAP_PROBE.json).
+    ``TFT_WS_BAND_COVERAGE=0.99`` restores the lossy percentile band for
+    speed A/Bs."""
+    exceed, total = np.asarray(stats[0]), np.asarray(stats[1])
+    cov = float(_os.environ.get("TFT_WS_BAND_COVERAGE", "1.0"))
+    if cov >= 1.0:
+        covered = exceed == 0
+        return int(np.argmax(covered)) if covered.any() else 21
+    allowed = np.maximum((total * (1.0 - cov)).astype(np.int64), 1)
+    small = exceed <= allowed
+    q = int(np.argmax(small)) if small.any() else 21
+    return int(min(q + 2, 21))
 
 
 def _flood_state(
@@ -1082,21 +1105,35 @@ def _watershed_time_chunked(
     ).astype(np.int8)
 
     if radius is None:
-        # host estimate of _ws_prep_jit's 99th-percentile band: strided
-        # sample of the masked rounded displacement magnitudes
-        step = max(1, (t * h * w) // 4_000_000)
-        mags = []
-        for f in (fwd_i8, bwd_i8):
-            m = np.maximum(
-                np.abs(f[..., 0].ravel()[::step]),
-                np.abs(f[..., 1].ravel()[::step]),
-            )
-            if mask_np is not None:
-                m = m[mask_np.ravel()[::step]]
-            mags.append(m)
-        mm = np.concatenate(mags)
-        q = float(np.percentile(mm, 99)) if mm.size else 1.0
-        radius = int(min(int(q) + 2, 21))
+        cov = float(_os.environ.get("TFT_WS_BAND_COVERAGE", "1.0"))
+        if cov >= 1.0:
+            # full band coverage (see _band_radius_from_stats): exact masked
+            # max of the rounded displacements, frame-chunked to bound temps
+            mx = 0
+            for f in (fwd_i8, bwd_i8):
+                for k in range(t):
+                    m = np.maximum(np.abs(f[k, ..., 0]), np.abs(f[k, ..., 1]))
+                    if mask_np is not None:
+                        m = m[mask_np[k]]
+                    if m.size:
+                        mx = max(mx, int(m.max()))
+            radius = int(min(max(mx, 1), 21))
+        else:
+            # lossy percentile band: strided sample of the masked rounded
+            # displacement magnitudes
+            step = max(1, (t * h * w) // 4_000_000)
+            mags = []
+            for f in (fwd_i8, bwd_i8):
+                m = np.maximum(
+                    np.abs(f[..., 0].ravel()[::step]),
+                    np.abs(f[..., 1].ravel()[::step]),
+                )
+                if mask_np is not None:
+                    m = m[mask_np.ravel()[::step]]
+                mags.append(m)
+            mm = np.concatenate(mags)
+            q = float(np.percentile(mm, 100 * cov)) if mm.size else 1.0
+            radius = int(min(int(q) + 2, 21))
 
     # same mixed-marker working-set estimate as the whole-volume gate: each
     # chunk's flood runs barrier-first too
@@ -1313,7 +1350,7 @@ def watershed(
     # 1.8 GB of HBM.  The whole prep runs as ONE program: on the remote-TPU
     # rig every eager jnp op is its own (per-process) compile, and this
     # block alone was ~30 mini-programs of first-dispatch latency.
-    field_j, fwd_int, bwd_int, state, small_enough = _ws_prep_jit(
+    field_j, fwd_int, bwd_int, state, band_stats = _ws_prep_jit(
         field_j,
         markers_j,
         mask_j,
@@ -1321,17 +1358,20 @@ def watershed(
         device_put_cached(backward_flow),
     )
     if radius is None:
-        # adaptive band radius: the temporal-tap cost scales with 2R+1, so
-        # specialise to the 99th-percentile rounded displacement (one small
-        # readback; compile cache is keyed per radius value).  Only masked
-        # pixels can ever push a label (unmasked sources carry +inf cost),
-        # so the percentile is taken over the mask — the flow over empty
-        # background is Farneback noise with a fat tail that would otherwise
-        # inflate the band 2-3x.  Displacements beyond the band are clipped
-        # by the banded scatter — the handful of outlier vectors saturate
-        # exactly as the reference's ±max_value clip does.
-        q = int(np.argmax(np.asarray(small_enough)))  # first radius covering 99%
-        radius = int(min(q + 2, 21))
+        # adaptive band radius (one small readback; compile cache is keyed
+        # per radius value).  Only masked pixels can ever push a label
+        # (unmasked sources carry +inf cost), so the exceedance curve is
+        # taken over the mask — the flow over empty background is Farneback
+        # noise with a fat tail that would otherwise inflate the band 2-3x.
+        # Coverage must be FULL by default: the banded scatter DROPS
+        # out-of-band pushes (see _banded_scatter_min — clipping would
+        # create phantom adjacency), so a 99th-percentile band amputates
+        # the reference graph's temporal edges exactly at the fast-moving
+        # anvil fringe, measured as the thin-anvil flood ceding 2731 px of
+        # exact-tie territory to the -1 barrier on the 12x192x256 parity
+        # scene (THIN_GAP_PROBE.json: gap 2731 -> 125 px at full band).
+        # TFT_WS_BAND_COVERAGE=0.99 restores the lossy band for speed A/Bs.
+        radius = _band_radius_from_stats(np.asarray(band_stats))
 
     t, h, w = field_j.shape
     # the Pallas time-tiled sweep kernel pays off once a frame outgrows its
