@@ -318,7 +318,8 @@ def test_band_radius_full_coverage_from_stats():
     from tobac_flow_tpu.ops.watershed import _band_radius_from_stats
 
     exceed = np.zeros(21, np.int64)
-    exceed[:4] = [1000, 8, 3, 1]  # outliers up to |disp| = 4
+    # outliers up to |disp| = 4; k=0 exceeds the 1% tolerance (1001 > 1000)
+    exceed[:4] = [1001, 8, 3, 1]
     total = np.full(21, 100_000, np.int64)
     stats = np.stack([exceed, total])
     # default: full coverage — first radius with zero exceedance

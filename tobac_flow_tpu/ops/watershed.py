@@ -748,7 +748,10 @@ _META_MAX = np.int32(np.iinfo(np.int32).max)
 def _ws_prep_jit(field_j, markers_j, mask_j, fwd_f, bwd_f):
     """Watershed preprocessing as one program: inf-fill NaN barriers,
     round/clip flows to int8 bands, seed the packed state, and compute the
-    band-radius exceedance curve (99th-percentile displacement stats)."""
+    band-radius exceedance curve — ``exceed[k]`` = in-mask displacement
+    components with ``|disp| > k`` plus the in-mask total, from which the
+    host picks the temporal band radius (``_band_radius_from_stats``;
+    full coverage by default)."""
     field_j = jnp.where(jnp.isnan(field_j), jnp.inf, field_j)
     fwd_int = jnp.clip(jnp.round(fwd_f), -127, 127).astype(jnp.int8)
     bwd_int = jnp.clip(jnp.round(bwd_f), -127, 127).astype(jnp.int8)

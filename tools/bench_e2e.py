@@ -140,7 +140,10 @@ def main(argv=None):
             stem / f"e2e_{n}_{t}x{h}x{w}_c{args.cells}_s{args.seed}.npy"
             for n in names
         ]
-        if all(p.exists() for p in paths):
+        # sentinel written LAST by the builder: half-written scenes from a
+        # killed build have the memmaps but no sentinel and are rebuilt
+        done = stem / f"e2e_{t}x{h}x{w}_c{args.cells}_s{args.seed}.done"
+        if done.exists() and all(p.exists() for p in paths):
             print(datetime.now(), "Opening cached spill scene", paths[0], flush=True)
             fields = [np.lib.format.open_memmap(p, mode="r+") for p in paths]
         else:
@@ -155,6 +158,7 @@ def main(argv=None):
             make_day_scene(t, h, w, n_cells=args.cells, seed=args.seed,
                            out=fields)
             trim_pages(*fields)
+            done.touch()
         bt_v, wvd_v, swd_v = fields
     else:
         cache = Path(

@@ -39,7 +39,10 @@ def main(argv=None):
         stem / f"e2e_{n}_{t}x{h}x{w}_c{args.cells}_s{args.seed}.npy"
         for n in ("bt", "wvd", "swd")
     ]
-    if all(p.exists() for p in paths):
+    # sentinel written LAST: a build killed mid-way leaves the memmaps on
+    # disk but no sentinel, so the cache check rejects the half-written scene
+    done = stem / f"e2e_{t}x{h}x{w}_c{args.cells}_s{args.seed}.done"
+    if done.exists() and all(p.exists() for p in paths):
         print(datetime.now(), "scene already cached:", paths[0], flush=True)
         return
     print(datetime.now(), f"building {t}x{h}x{w} spilled day scene", flush=True)
@@ -50,6 +53,7 @@ def main(argv=None):
     make_day_scene(t, h, w, n_cells=args.cells, seed=args.seed, out=fields)
     for f in fields:
         f.flush()
+    done.touch()
     print(datetime.now(), "done:", *[p.name for p in paths], flush=True)
 
 

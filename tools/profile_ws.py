@@ -58,9 +58,11 @@ def main():
     mag = jnp.where(mask_j[..., None], mag, 0)
     total = jnp.maximum(mask_j.sum() * 2, 1)
     exceed = jnp.stack([(mag > k).sum() for k in range(21)])
-    small_enough = exceed <= jnp.maximum(total // 100, 1)
-    radius = int(min(int(jnp.argmax(small_enough)) + 2, 21))
-    print(f"adaptive radius: {radius}")
+    band_stats = np.stack(
+        [np.asarray(exceed), np.broadcast_to(int(total), (21,))]
+    )
+    radius = ws._band_radius_from_stats(band_stats)
+    print(f"band radius: {radius}")
 
     field_j = jnp.where(jnp.isnan(edges), jnp.inf, edges)
     structure = ws.connectivity_structure(1)
