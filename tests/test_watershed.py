@@ -314,6 +314,46 @@ def test_time_chunked_matches_whole_volume(monkeypatch):
     assert agree > 0.995, f"chunked flood agreement {agree:.4%}"
 
 
+def test_time_chunked_matches_whole_volume_mixed_markers(monkeypatch):
+    """Mixed -1/positive markers through the time-chunked flood: each
+    chunk's barrier-first pre-flood must adopt the halo frames' incoming
+    barrier claims (a neighbour's barrier influence otherwise relaxes
+    silently under phase 2's label-only convergence), and the converged
+    partition must match the whole-volume mixed flood."""
+    rng = np.random.default_rng(7)
+    t, h, w = 16, 24, 32
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    field = np.empty((t, h, w), np.float32)
+    centers = [(8, 6), (16, 22)]
+    for i in range(t):
+        field[i] = 10.0
+        for cy, cx in centers:
+            r2 = (yy - cy) ** 2 + (xx - cx - 0.5 * i) ** 2
+            field[i] = np.minimum(field[i], 0.08 * r2)
+    field += rng.normal(0, 1e-3, field.shape).astype(np.float32)
+    markers = np.zeros((t, h, w), np.int32)
+    for k, (cy, cx) in enumerate(centers, start=1):
+        markers[0, cy, cx] = k
+    # barrier seeds along the far edge of EVERY frame: the -1 flood must
+    # race the positive labels across every chunk boundary
+    markers[:, :, -1] = -1
+    fwd = np.zeros((t, h, w, 2), np.float32)
+    bwd = np.zeros((t, h, w, 2), np.float32)
+    fwd[..., 0] = 0.5
+    bwd[..., 0] = -0.5
+
+    whole = watershed(fwd, bwd, field, markers)
+    monkeypatch.setenv(
+        "TFT_WS_HBM_BUDGET_BYTES", str(t * h * w * 96 // 4)
+    )
+    chunked = watershed(fwd, bwd, field, markers)
+    assert isinstance(chunked, np.ndarray)
+    assert (whole != 0).all()
+    assert set(np.unique(whole)) == {-1, 1, 2}
+    agree = (chunked == whole).mean()
+    assert agree > 0.99, f"mixed chunked flood agreement {agree:.4%}"
+
+
 def test_band_radius_full_coverage_from_stats():
     from tobac_flow_tpu.ops.watershed import _band_radius_from_stats
 

@@ -926,6 +926,21 @@ def _flood_state(
             jnp.where(seeded0, -jnp.inf, jnp.inf).astype(jnp.float32),
             jnp.where(seeded0, neg + 2, _META_MAX).astype(jnp.int32),
         )
+        # adopt the INCOMING state's barrier-labeled cells (the time-chunked
+        # path's frozen halo frames carry the neighbour chunk's converged
+        # barrier claims): a halo barrier claim the local pre-flood cannot
+        # derive would otherwise enter only in phase 2, where it relaxes
+        # silently under label-only convergence — the exact trap
+        # barrier-first exists to avoid
+        in_bar = (state[2] != _META_MAX) & (
+            (state[2] & jnp.int32((1 << 23) - 1)) == jnp.int32(1)
+        )
+        adopt = in_bar & _lex_better(
+            state[0], state[1], state[2], state0[0], state0[1], state0[2]
+        )
+        state0 = tuple(
+            jnp.where(adopt, a, b) for a, b in zip(state, state0)
+        )
         t0 = _time.perf_counter()
         state0 = _flood_state(
             field_j, neg, mask_j & (markers_j <= 0), fwd_int, bwd_int,
@@ -1150,6 +1165,8 @@ def _watershed_time_chunked(
     labels_out = np.zeros((t, h, w), np.int32)
     sums_prev: dict = {}
     bound: dict = {}  # global frame index -> (claim, claim2, meta) np frames
+    bound_ver: dict = {}  # global frame index -> content version counter
+    flooded_ver: dict = {}  # chunk -> (left ver, right ver) at last flood
 
     for pass_i in range(max_passes):
         order = (
@@ -1160,6 +1177,24 @@ def _watershed_time_chunked(
         changed_any = False
         for ci in order:
             s, e = ci * chunk_t, min(t, (ci + 1) * chunk_t)
+            # a chunk's flood is a deterministic function of its inputs, and
+            # only the boundary-condition frames (bound[s-1], bound[e]) vary
+            # between passes: skip chunks whose boundary conditions are
+            # unchanged since their last flood.  Verification passes then
+            # cost nothing, and partially-stable passes re-flood only the
+            # chunks a neighbour actually perturbed.
+            in_ver = (
+                bound_ver.get(s - 1, 0) if s > 0 else -1,
+                bound_ver.get(e, 0) if e < t else -1,
+            )
+            if flooded_ver.get(ci) == in_ver:
+                if _VERBOSE:
+                    print(
+                        f"[ws] chunk pass {pass_i} [{s}:{e}] unchanged "
+                        "boundary conditions — skipped",
+                        flush=True,
+                    )
+                continue
             lo = s - 1 if s > 0 else 0
             hi = e + 1 if e < t else e
             t0 = _time.perf_counter()
@@ -1230,7 +1265,9 @@ def _watershed_time_chunked(
                     np.array_equal(x, y) for x, y in zip(new_b, old_b)
                 ):
                     changed_any = True
+                    bound_ver[key] = bound_ver.get(key, 0) + 1
                 bound[key] = new_b
+            flooded_ver[ci] = in_ver
 
             lab = _ws_decode_jit(state[2], mrk, msk)
             sums = np.asarray(_ws_chunk_sums_jit(lab[i0 : i1 + 1]))

@@ -46,11 +46,15 @@ class StageTimer:
     RSS at the end of each stage — the lever for keeping GOES-day runs
     inside host memory."""
 
-    def __init__(self, verbose=True, trim_memory=True):
+    def __init__(self, verbose=True, trim_memory=True, on_stage_end=None):
         self.stages = {}
         self.rss = {}
         self.verbose = verbose
         self.trim_memory = trim_memory
+        # optional callback(timer, stage_name) after every stage — lets a
+        # long run (CONUS day) persist a partial artifact so a killed or
+        # timed-out job still leaves its per-stage evidence
+        self.on_stage_end = on_stage_end
 
     @contextlib.contextmanager
     def stage(self, name, sync=None):
@@ -71,6 +75,11 @@ class StageTimer:
                     f"rss={self.rss[name]:.2f}GB",
                     flush=True,
                 )
+            if self.on_stage_end is not None:
+                try:
+                    self.on_stage_end(self, name)
+                except Exception:
+                    pass
 
     def summary(self):
         return dict(self.stages)

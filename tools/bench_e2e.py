@@ -190,7 +190,24 @@ def main(argv=None):
     save_dir.mkdir(parents=True, exist_ok=True)
     save_path = save_dir / f"detected_dccs_E2E_T{t:03d}_X{w:04d}_Y{h:04d}.nc"
 
-    timer = StageTimer(verbose=True)
+    partial_path = save_dir / (
+        "BENCH_E2E_CPU_PARTIAL.json" if args.cpu else "BENCH_E2E_PARTIAL.json"
+    )
+
+    def _write_partial(tmr, _name, _t0=time.perf_counter()):
+        # persisted after EVERY stage: a killed or timed-out run (CONUS day
+        # under `timeout`) still leaves its per-stage evidence
+        partial_path.write_text(json.dumps({
+            "metric": "PARTIAL full detect path (run in progress/killed)",
+            "frames": t, "height": h, "width": w,
+            "elapsed_s": round(time.perf_counter() - _t0, 2),
+            "stages_s": {k: round(v, 2) for k, v in tmr.summary().items()},
+            "stages_rss_gb": {
+                k: round(v, 2) for k, v in tmr.rss_summary().items()
+            },
+        }, indent=2))
+
+    timer = StageTimer(verbose=True, on_stage_end=_write_partial)
     opts = DetectionOptions(
         checkpoint_path=save_path.with_suffix(".checkpoint.nc"),
     )
@@ -244,6 +261,7 @@ def main(argv=None):
     if not args.no_write:
         out = REPO / ("BENCH_E2E_CPU.json" if args.cpu else "BENCH_E2E.json")
         out.write_text(json.dumps(result, indent=2))
+        partial_path.unlink(missing_ok=True)  # superseded by the final artifact
     return result
 
 
