@@ -25,6 +25,13 @@ from tobac_flow_tpu.utils.program_cache import persistent_jit
 # stages stream chunks
 FLOW_RESIDENCY_BUDGET_BYTES = 4 << 30
 
+# HBM gate for the pair-batched Farneback program: its temp footprint is
+# ~200 bytes per pair-pixel (measured: 23.6 GB at 32 pairs x 1500x2500 —
+# an OOM on the 16 GB chip; 2.5 GB at 32 x 512x768).  Capping pair-pixels
+# per program keeps the batch at 32 for GOES-tile frames and drops it to
+# ~10 at CONUS frame size.
+FLOW_PAIR_PX_BUDGET = 40_000_000
+
 __all__ = [
     "select_of_model",
     "batch_flow",
@@ -214,6 +221,8 @@ def batch_flow(
     device_resident = 4 * data.nbytes <= FLOW_RESIDENCY_BUDGET_BYTES
     if t > 2 * chunk:
         chunk = max(chunk, 32)  # long windows: fewer, fatter dispatches
+    frame_px = int(np.prod(data.shape[1:]))
+    chunk = max(1, min(chunk, FLOW_PAIR_PX_BUDGET // max(frame_px, 1)))
     chunk = min(chunk, n_pairs)
 
     if not device_resident:
