@@ -170,13 +170,30 @@ def run_detection(
         if not (opts.save_field_props or opts.save_bt):
             bt = None  # frees the frame when the caller passed its only ref
 
+    # Above ~1 GB per field the anvil watersheds run HBM-chunked and need
+    # most of the 16 GB chip for their per-chunk working set: unpin the
+    # transfer cache's full-volume uploads (bt/wvd/swd/combined fields from
+    # the flow/core stages — LRU 8 x ~GB pinned HBM was measured exhausting
+    # the chip inside the first chunk's coarse scan at CONUS-96 scale) and
+    # cap re-population by the stage prep's streamed slices.
+    _vol_bytes = np.asarray(getattr(wvd, "values", wvd)).nbytes
+    if _vol_bytes > (1 << 30):
+        from tobac_flow_tpu.utils import device_cache as _dc
+
+        _dc._MAX_ENTRIES = 2
+        _dc.clear_device_cache()
+
     print(datetime.now(), "Detecting thick anvil region", flush=True)
     # build each derived field once: the marker and watershed stages share
     # the SAME array object, so its device upload is cached across stages —
     # and its device copy is SEEDED from the already-uploaded wvd/swd
     # operands (one elementwise op) instead of a third full-volume upload
     wvd_minus_swd = wvd - swd
-    _seed_combined_field(wvd_minus_swd, wvd, swd, sign=-1.0)
+    if _vol_bytes <= (1 << 30):
+        # (skipped at chunked-watershed scale: seeding would re-upload wvd
+        # AND swd into the just-capped cache — twice the traffic of letting
+        # the stage upload the one combined field it actually consumes)
+        _seed_combined_field(wvd_minus_swd, wvd, swd, sign=-1.0)
     with stage("anvil_markers"):
         anvil_markers = get_anvil_markers(
             flow,
@@ -231,9 +248,14 @@ def run_detection(
         anvil_markers = None  # free before the thin-anvil watershed peak
 
     wvd_minus_swd = None  # free (and uncache) before the thin-anvil peak
+    if _vol_bytes > (1 << 30):
+        from tobac_flow_tpu.utils import device_cache as _dc
+
+        _dc.clear_device_cache()
     print(datetime.now(), "Detecting thin anvil region", flush=True)
     wvd_plus_swd = wvd + swd
-    _seed_combined_field(wvd_plus_swd, wvd, swd, sign=1.0)
+    if _vol_bytes <= (1 << 30):
+        _seed_combined_field(wvd_plus_swd, wvd, swd, sign=1.0)
     with stage("thin_anvils"):
         thin_anvil_labels = detect_anvils(
             flow,
