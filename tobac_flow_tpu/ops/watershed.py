@@ -1153,10 +1153,14 @@ def _watershed_time_chunked(
             q = float(np.percentile(mm, 100 * cov)) if mm.size else 1.0
             radius = int(min(int(q) + 2, 21))
 
-    # same mixed-marker working-set estimate as the whole-volume gate: each
-    # chunk's flood runs barrier-first too
+    # same measured working-set estimate as the whole-volume gate (see
+    # ``watershed``): each chunk's flood runs barrier-first too.  The flood
+    # actually dispatches chunk_t + 2 frames (one frozen halo per side), so
+    # size chunks by a per-dispatch frame cap that includes the halos.
     mixed = bool((markers_np < 0).any()) and bool((markers_np > 0).any())
-    n_chunks = max(1, -(-int(t * h * w * (96 if mixed else 40)) // budget))
+    _bpx = 224 if mixed else 200
+    frames_cap = max(4, int(budget // max(_bpx * h * w, 1)) - 2)
+    n_chunks = max(1, -(-t // frames_cap))
     chunk_t = -(-t // n_chunks)
     n_chunks = -(-t // chunk_t)
     use_pallas = h * w >= 256 * 256 and _pallas_spatial_usable(h, w)
@@ -1342,12 +1346,15 @@ def watershed(
         _mixed = bool((_mk < 0).any()) and bool((_mk > 0).any())
     else:  # device-resident markers (fused path): two scalar readbacks
         _mixed = bool(jnp.any(_mk < 0)) and bool(jnp.any(_mk > 0))
-    # mixed -1/positive markers take the barrier-first schedule, which runs a
-    # SECOND full flood with its own packed state while the outer state and
-    # merge buffers stay live — near double the working set (the 288x512x768
-    # thin-anvil flood OOMs a 16 GB chip whole-volume despite a nominal
-    # 4.5 GB estimate)
-    _bytes_px = 96 if _mixed else 40
+    # Working-set estimate, MEASURED via AOT memory_analysis of the sweeps
+    # program at full-band radius 21 (13x1500x2500: temp 8.33 GB, args
+    # 1.25 GB => ~197 B/px; 18 frames: 11.52+1.73 GB => ~196 B/px): the
+    # banded temporal scatter's two-lane fori carries dominate.  Mixed
+    # -1/positive markers add the barrier-first pre-flood's extra live
+    # state (outer packed state + neg markers, ~24 B/px).  The old 40/96
+    # estimates let a 113 Mpx whole-volume flood through that needed
+    # ~22 GB — the round-4 OOM on the 16 GB chip.
+    _bytes_px = 224 if _mixed else 200
     if (
         len(_shape) == 3
         and int(np.prod(_shape)) * _bytes_px > hbm_budget

@@ -157,7 +157,12 @@ def run_study(t=16, h=256, w=384, n_perms=6, seed=0):
 
 
 def main():
-    out = run_study()
+    # both the original study scene and the one PARITY_DETECT scene whose
+    # thin-anvil min-object IoU sits below the 0.99 gate (12x192x256)
+    out = {}
+    for t, h, w in ((16, 256, 384), (12, 192, 256)):
+        r = run_study(t, h, w)
+        out[r["scene"]] = r
     print(json.dumps(out, indent=2))
     Path(__file__).parent.parent.joinpath("TIE_SENSITIVITY.json").write_text(
         json.dumps(out, indent=2)
