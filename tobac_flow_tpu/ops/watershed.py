@@ -1286,6 +1286,13 @@ def _watershed_time_chunked(
                     flush=True,
                 )
             del state, lab, fld, mrk, msk, fwd_c, bwd_c
+            # Collect the chunk's dead jax arrays NOW: their host-side
+            # transfer shadows otherwise accumulate ~1 GB per chunk-flood
+            # (measured 130.7 GB anon RSS — a host OOM — 7.9 passes into a
+            # CONUS-96 thick flood, BENCH_E2E_CONUS96_PARTIAL.json).
+            from tobac_flow_tpu.utils.profiling import release_host_memory
+
+            release_host_memory()
         if not changed_any:
             break
     if return_device:
