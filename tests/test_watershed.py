@@ -354,6 +354,48 @@ def test_time_chunked_matches_whole_volume_mixed_markers(monkeypatch):
     assert agree > 0.99, f"mixed chunked flood agreement {agree:.4%}"
 
 
+def test_time_chunked_global_coarse_solve(monkeypatch, capsys):
+    """At >= 3 chunks and a coarsenable frame size, the chunked flood runs
+    the whole-time global coarse solve after pass 0 and adopts it into
+    later passes — labels seeded in frame 0 must still cross every chunk
+    boundary and the partition must match the whole-volume flood."""
+    import tobac_flow_tpu.ops.watershed as ws
+
+    rng = np.random.default_rng(11)
+    t, h, w = 12, 128, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    field = np.empty((t, h, w), np.float32)
+    centers = [(40, 30), (88, 90)]
+    for i in range(t):
+        field[i] = 10.0
+        for cy, cx in centers:
+            r2 = (yy - cy) ** 2 + (xx - cx - 1.0 * i) ** 2
+            field[i] = np.minimum(field[i], 0.01 * r2)
+    field += rng.normal(0, 1e-3, field.shape).astype(np.float32)
+    markers = np.zeros((t, h, w), np.int32)
+    for k, (cy, cx) in enumerate(centers, start=1):
+        markers[0, cy, cx] = k
+    markers[:, :, -1] = -1  # mixed: barrier rim races the positive labels
+    fwd = np.zeros((t, h, w, 2), np.float32)
+    bwd = np.zeros((t, h, w, 2), np.float32)
+    fwd[..., 0] = 1.0
+    bwd[..., 0] = -1.0
+
+    whole = watershed(fwd, bwd, field, markers)
+    # ~3 chunks AND a global coarse grid (h//4 = 32): budget chosen so
+    # frames_cap ~ 4 while t*(h//4)*(w//4)*224 fits in budget//2
+    monkeypatch.setenv(
+        "TFT_WS_HBM_BUDGET_BYTES", str(t * h * w * 224 // 3)
+    )
+    monkeypatch.setattr(ws, "_VERBOSE", True)
+    chunked = watershed(fwd, bwd, field, markers)
+    out = capsys.readouterr().out
+    assert "[ws] global coarse solve" in out, out[-2000:]
+    assert (whole != 0).all()
+    agree = (chunked == whole).mean()
+    assert agree > 0.99, f"global-coarse chunked agreement {agree:.4%}"
+
+
 def test_band_radius_full_coverage_from_stats():
     from tobac_flow_tpu.ops.watershed import _band_radius_from_stats
 

@@ -1172,6 +1172,30 @@ def _watershed_time_chunked(
     bound_ver: dict = {}  # global frame index -> content version counter
     flooded_ver: dict = {}  # chunk -> (left ver, right ver) at last flood
 
+    # Global coarse solve: with frozen-halo block Gauss–Seidel, claim
+    # refinements propagate ONE chunk per pass — measured as 8 ping-pong
+    # passes x ~8 chunk re-floods on a 9-chunk CONUS volume (~7300 s,
+    # BENCH_E2E_CONUS96_PARTIAL.json).  A spatially max-pooled WHOLE-TIME
+    # coarse flood fits HBM even at CONUS scale (8x: ~3.4 GB) and carries
+    # the cross-chunk information in one solve; passes >= 1 adopt it into
+    # each chunk's initial state through the guarded `_ws_adopt_jit`
+    # (deep-interior label-uniform territory only — same upper-bound
+    # argument as the per-chunk V-cycle), so boundary conditions settle in
+    # ~2 passes instead of ~n_chunks.
+    gfactor = None
+    if n_chunks >= 3:
+        for f in (4, 8, 16):
+            if (
+                h // f >= 32
+                and w // f >= 32
+                and t * (h // f) * (w // f) * _bpx <= budget // 2
+            ):
+                gfactor = f
+                break
+    gpieces: dict = {}  # chunk -> host (cf, cmask, cmark, cfwd, cbwd)
+    gstate = None  # host (claim, claim2, meta) of the solved coarse volume
+    gmark = None
+
     for pass_i in range(max_passes):
         order = (
             range(n_chunks)
@@ -1191,7 +1215,11 @@ def _watershed_time_chunked(
                 bound_ver.get(s - 1, 0) if s > 0 else -1,
                 bound_ver.get(e, 0) if e < t else -1,
             )
-            if flooded_ver.get(ci) == in_ver:
+            # pass 1 re-floods every chunk once when a global coarse state
+            # exists: the adoption injects cross-chunk information the
+            # boundary-version check cannot see
+            force = pass_i == 1 and gstate is not None
+            if flooded_ver.get(ci) == in_ver and not force:
                 if _VERBOSE:
                     print(
                         f"[ws] chunk pass {pass_i} [{s}:{e}] unchanged "
@@ -1238,6 +1266,27 @@ def _watershed_time_chunked(
                 jnp.asarray(meta0),
             )
             del claim0, claim20, meta0
+
+            if pass_i == 0 and gfactor is not None:
+                # piggyback on pass 0's uploads: pool this chunk's INTERIOR
+                # frames for the global coarse problem (halo frames belong
+                # to the neighbour)
+                _i0, _i1 = s - lo, (e - 1) - lo
+                piece = _ws_coarse_prep_jit(
+                    fld[_i0 : _i1 + 1], mrk[_i0 : _i1 + 1],
+                    msk[_i0 : _i1 + 1], fwd_c[_i0 : _i1 + 1],
+                    bwd_c[_i0 : _i1 + 1], gfactor,
+                )
+                gpieces[ci] = tuple(np.asarray(x) for x in piece[:5])
+            if gstate is not None:
+                # warm-start from the solved global coarse volume (passes
+                # >= 1): guarded deep-interior adoption; halo frames are
+                # masked out so boundary conditions survive untouched
+                state = _ws_adopt_jit(
+                    tuple(jnp.asarray(a[lo:hi]) for a in gstate),
+                    jnp.asarray(gmark[lo:hi]),
+                    fld, mrk, msk, state, gfactor,
+                )
 
             state = _flood_state(
                 fld, mrk, msk, fwd_c, bwd_c, state, taps, radius,
@@ -1293,6 +1342,42 @@ def _watershed_time_chunked(
             from tobac_flow_tpu.utils.profiling import release_host_memory
 
             release_host_memory()
+
+        if pass_i == 0 and gfactor is not None and gpieces:
+            # solve the assembled whole-time coarse volume on device
+            t0 = _time.perf_counter()
+            parts = [gpieces[c] for c in sorted(gpieces)]
+            gcf = np.concatenate([p[0] for p in parts])
+            gcmask = np.concatenate([p[1] for p in parts])
+            gmark = np.concatenate([p[2] for p in parts])
+            gcfwd = np.concatenate([p[3] for p in parts])
+            gcbwd = np.concatenate([p[4] for p in parts])
+            gpieces.clear()
+            seedg = gmark != 0
+            gc0 = np.where(seedg, -np.inf, np.inf).astype(np.float32)
+            gm0 = np.where(
+                seedg, gmark + 2, np.iinfo(np.int32).max
+            ).astype(np.int32)
+            gs = _flood_state(
+                jnp.asarray(gcf), jnp.asarray(gmark), jnp.asarray(gcmask),
+                jnp.asarray(gcfwd), jnp.asarray(gcbwd),
+                (jnp.asarray(gc0), jnp.asarray(gc0.copy()), jnp.asarray(gm0)),
+                taps, max(radius // gfactor, 1),
+                max_iters=t + (h // gfactor) + (w // gfactor) + 32,
+                chunk_iters=chunk_iters, grace=grace, use_pallas=False,
+                run_scans=run_scans, multigrid=True,
+            )
+            gstate = tuple(np.asarray(a) for a in gs)
+            del gs, gcf, gcmask, gcfwd, gcbwd, gc0, gm0
+            from tobac_flow_tpu.utils.profiling import release_host_memory
+
+            release_host_memory()
+            if _VERBOSE:
+                print(
+                    f"[ws] global coarse solve (factor {gfactor}): "
+                    f"{_time.perf_counter() - t0:.1f}s",
+                    flush=True,
+                )
         if not changed_any:
             break
     if return_device:
